@@ -1,0 +1,126 @@
+"""Embedding kernels: deterministic hashed-feature encoder (the sandbox
+stand-in for the reference's BERT bi-encoder, `blink/biencoder/biencoder.py:
+159-170`), dot/cosine as JVM array expressions, and random-hyperplane sign
+buckets (the LSH analogue of the FAISS index, `blink/indexer/faiss_indexer.py`).
+
+The encoder is a feature-hashing bag-of-tokens projection: token t adds
+sign(t) to dimension h(t) % dim, then L2-normalize. It is a deterministic
+function of the token multiset — the property the pipeline actually relies on
+(reference precedent: the whole tokenize->encode path is deterministic given
+the model, `blink/biencoder/data_process.py:26-97`). Swap in a real model by
+replacing `hashed_embedding_udf` with a model-backed pandas UDF of the same
+signature.
+"""
+
+from __future__ import annotations
+
+
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, FloatType
+
+DIM = 64  # matches the driver's embeddings.parquet dim
+
+
+MAX_CHARS = 256
+_KNUTH = 2654435761  # Fibonacci-hash multiplier
+
+
+@pandas_udf(ArrayType(FloatType()))
+def hashed_embedding_udf(texts: pd.Series) -> pd.Series:
+    """Batch hashed char-trigram embedding: array<float> of length DIM,
+    L2-normalized. Fully numpy-vectorized:
+
+      codes[B, L]  <- utf-32 char codes of lowercased text (truncated)
+      gram[B, L-2] <- c0*0x10000 + c1*0x100 + c2 (trigram id)
+      bucket       <- (gram * KNUTH) mod 2^32 mod DIM; sign from bit 31
+      out[row, bucket] += sign; L2-normalize rows
+
+    Char-level features keep typo'd variants ("fgu coerp" ~ "fagu corp")
+    cosine-close where token-level features go to zero — the same property
+    the reference gets from WordPiece subword tokens
+    (`blink/biencoder/data_process.py:26-69`).
+    """
+    n = len(texts)
+    out = np.zeros((n, DIM), dtype=np.float32)
+    vals = texts.fillna("").astype(str).str.lower().str.slice(0, MAX_CHARS)
+    lens = vals.str.len().to_numpy(dtype=np.int64)
+    joined = "\x00".join(vals.tolist())
+    if joined and lens.max(initial=0) >= 3:
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        L = int(lens.max())
+        col = np.arange(L)
+        idx = np.minimum(starts[:, None] + col[None, :], len(codes) - 1)
+        mat = codes[idx].astype(np.uint64)
+        valid = col[None, :] < lens[:, None]
+        mat = np.where(valid, mat, 0)
+        if L >= 3:
+            g = (mat[:, :-2] << np.uint64(16)) ^ (mat[:, 1:-1] << np.uint64(8)) ^ mat[:, 2:]
+            gv = valid[:, 2:]
+            bucket = ((g * np.uint64(_KNUTH)) & np.uint64(0xFFFFFFFF)) % np.uint64(DIM)
+            sign = np.where((g * np.uint64(_KNUTH)) & np.uint64(0x80000000), 1.0, -1.0).astype(
+                np.float32
+            )
+            rows = np.broadcast_to(np.arange(n)[:, None], g.shape)
+            np.add.at(out, (rows[gv], bucket[gv].astype(np.int64)), sign[gv])
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    out = out / np.maximum(norms, 1e-12)
+    return pd.Series(list(out))
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Dot product of two array<float/double> columns, JVM-side.
+
+    Sequential left-to-right summation in double — matches DuckDB
+    list_dot_product on double lists for oracle parity.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity, rounded to 6dp for engine-portable comparison."""
+    return F.round(
+        dot_product(a, b) / F.greatest(l2_norm(a) * l2_norm(b), F.lit(1e-12)), 6
+    )
+
+
+def _hyperplanes(nplanes: int, dim: int = DIM) -> np.ndarray:
+    """Fixed seeded random hyperplanes (shared driver<->executor constant)."""
+    rng = np.random.RandomState(42)
+    return rng.randn(nplanes, dim).astype(np.float64)
+
+
+def hyperplane_bucket(vec: Column, nplanes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (long): bit j = sign(vec . plane_j).
+
+    Pure Column arithmetic — the planes are literal arrays, the dot products
+    stay in codegen. Vectors in the same bucket are cosine-close with high
+    probability; used for embedding-based blocking and ANN.
+    """
+    planes = _hyperplanes(nplanes)
+    out = F.lit(0).cast("long")
+    for j in range(nplanes):
+        plane = F.array(*[F.lit(float(w)) for w in planes[j]])
+        d = dot_product(vec, plane)
+        out = out + (d > 0).cast("long") * F.lit(1 << j)
+    return out

@@ -1,0 +1,120 @@
+"""Portable hashing primitives: polynomial string hash, MinHash signatures,
+LSH band keys, SimHash.
+
+All arithmetic is pure int64 Column expressions (whole-stage codegen, zero
+Python) AND engine-portable: the DuckDB oracle reproduces the exact values,
+so LSH blocking itself is correctness-checked, not just smoke-tested.
+
+Reference analogue: the FAISS ANN index (`blink/indexer/faiss_indexer.py:
+47-141`) — here the index *is* a table of band keys; retrieval is an
+equi-join on the band key (SURVEY.md J7/J8).
+
+Production note: at 100 TB you would swap `poly_hash` for `F.xxhash64`
+(same shape, faster, not oracle-portable) — the pipeline takes the hash
+function as a parameter.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from blink_reloaded_spark.functions.text import FNV_MOD, normalize_text
+
+# 2^31 - 1 is prime -> (a*h + b) % P with a in [1, P), b in [0, P) is a
+# universal-ish permutation family over [0, P).
+P = FNV_MOD
+
+_rng = random.Random(42)
+# 64 permutation pairs, enough for 16 bands x 4 rows signatures
+PERMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, P), _rng.randrange(0, P)) for _ in range(64)
+]
+
+
+def poly_hash(c: Column) -> Column:
+    """Portable polynomial hash of a string: acc = (acc*31 + ascii(ch)) % P.
+
+    NOTE: operates on the raw string column (caller normalizes if wanted).
+    """
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + x) % F.lit(P),
+    )
+
+
+def perm_hash(h: Column, i: int) -> Column:
+    """i-th permutation of a base hash: (a_i*h + b_i) % P (fits int64)."""
+    a, b = PERMS[i]
+    return (F.lit(a) * h + F.lit(b)) % F.lit(P)
+
+
+def minhash_signature_cols(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature (array<long>, length num_hashes) of a shingle array.
+
+    sig[i] = min over shingles s of perm_i(poly_hash(s)). The base hash is
+    computed once per shingle, then permuted — one array pass per hash.
+    Empty shingle set -> sig[i] = P (sentinel).
+    """
+    hashes = F.transform(shingles, poly_hash)
+
+    def _min_perm(i: int):
+        # NB: factory closure, not a default-arg lambda — PySpark treats
+        # 2-arg lambdas in transform() as (element, index)
+        return F.coalesce(
+            F.array_min(F.transform(hashes, lambda h: perm_hash(h, i))),
+            F.lit(P).cast("long"),
+        )
+
+    return F.array(*[_min_perm(i) for i in range(num_hashes)])
+
+
+def band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """LSH band keys: array<string> of `bands` entries, each
+    '<band_idx>|<sig values of that band joined by _>'.
+
+    Two docs share a band key iff their signatures agree on all `rows`
+    positions of that band — the standard MinHash-LSH bucketing.
+    """
+    keys = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            F.concat_ws(
+                "_", *[F.slice(sig, b * rows + r + 1, 1)[0].cast("string") for r in range(rows)]
+            ),
+        )
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def simhash64(toks: Column, nbits: int = 32) -> Column:
+    """Portable SimHash over a token array (nbits <= 62, default 32).
+
+    bit_j is set iff the majority of token hashes have parity 1 under
+    permutation j: ((a_j*h + b_j) % P) & 1. Hamming distance between two
+    simhashes = bit_count(x ^ y) — both Spark and DuckDB have bit_count/xor.
+    """
+    hashes = F.transform(toks, poly_hash)
+    n = F.size(hashes)
+
+    def _parity_count(j: int):
+        return F.size(F.filter(hashes, lambda h: perm_hash(h, j) % F.lit(2) == F.lit(1)))
+
+    out = F.lit(0).cast("long")
+    for j in range(nbits):
+        bit = (_parity_count(j) * F.lit(2) > n).cast("long")
+        out = out + bit * F.lit(1 << j)
+    return out
+
+
+def exact_text_key(c: Column) -> Column:
+    """Exact-dedup key: portable hash of normalized text (plus length to cut
+    collision odds). Used by the hash-groupBy exact dedup."""
+    s = normalize_text(c)
+    return F.concat_ws("_", poly_hash(s).cast("string"), F.length(s).cast("string"))

@@ -1,0 +1,132 @@
+"""String-pair similarity kernels.
+
+* ``levenshtein_sim`` — Spark built-in ``levenshtein`` (JVM-side), normalized.
+* ``jaro_winkler_udf`` — numpy-vectorized Arrow-batched pandas UDF: the loop
+  is over character *positions* (<= max_len iterations), every step is a
+  vectorized op over the whole batch — no per-row Python (input_hint mandate).
+  Matches DuckDB's ``jaro_winkler_similarity`` (verified in tests) so the
+  oracle can check it bit-for-bit after rounding.
+
+Reference analogue: the cross-encoder pair scorer
+(`blink/crossencoder/crossencoder.py:130-139`) — a black-box batch kernel
+mapping a pair batch to a score vector; ours is a deterministic string kernel
+(north_rule F11).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+MAX_LEN = 64  # mentions/titles are short; longer strings are truncated
+
+
+def levenshtein_sim(a: Column, b: Column) -> Column:
+    """1 - levenshtein(a,b)/max(len) — exact rational, rounded to 6dp."""
+    return F.round(
+        F.lit(1.0)
+        - F.levenshtein(a, b)
+        / F.greatest(F.length(a), F.length(b), F.lit(1)).cast("double"),
+        6,
+    )
+
+
+def jaccard_from_counts(n_inter: Column, n_a: Column, n_b: Column) -> Column:
+    """Jaccard from |A∩B|, |A|, |B| (set sizes), rounded to 6dp."""
+    return F.round(
+        n_inter.cast("double") / (n_a + n_b - n_inter).cast("double"), 6
+    )
+
+
+def _to_codes(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a string series into a [B, MAX_LEN] uint32 code matrix + lengths."""
+    vals = s.fillna("").astype(str).str.slice(0, MAX_LEN)
+    lens = vals.str.len().to_numpy(dtype=np.int64)
+    b = len(vals)
+    mat = np.zeros((b, MAX_LEN), dtype=np.uint32)
+    # one vectorized pass: join, then view as a single code array
+    joined = "\x00".join(vals.tolist())
+    if joined:
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        pos = 0
+        # row starts are fully determined by lens; fill via fancy indexing
+        starts = np.zeros(b, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        col_idx = np.arange(MAX_LEN)
+        take = starts[:, None] + col_idx[None, :]
+        valid = col_idx[None, :] < lens[:, None]
+        flat = np.zeros(b * MAX_LEN, dtype=np.uint32)
+        flat_idx = np.where(valid.ravel(), take.ravel(), 0)
+        flat = codes[np.minimum(flat_idx, len(codes) - 1)]
+        mat = np.where(valid, flat.reshape(b, MAX_LEN), 0)
+        del pos
+    return mat, lens
+
+
+def jaro_winkler_np(sa: pd.Series, sb: pd.Series) -> np.ndarray:
+    """Vectorized Jaro-Winkler over a batch of string pairs."""
+    a, la = _to_codes(sa)
+    b, lb = _to_codes(sb)
+    B = a.shape[0]
+    if B == 0:
+        return np.zeros(0, dtype=np.float64)
+    lmax = np.maximum(la, lb)
+    # match window: chars equal and |i-j| <= max(lmax/2 - 1, 0)
+    window = np.maximum(lmax // 2 - 1, 0)
+
+    used_b = np.zeros((B, MAX_LEN), dtype=bool)
+    match_j = np.full((B, MAX_LEN), -1, dtype=np.int64)
+    j_idx = np.arange(MAX_LEN)[None, :]
+    valid_b = j_idx < lb[:, None]
+    for i in range(MAX_LEN):
+        active = i < la
+        if not active.any():
+            break
+        ai = a[:, i][:, None]  # [B,1]
+        in_window = np.abs(j_idx - i) <= window[:, None]
+        cand = (b == ai) & in_window & ~used_b & valid_b & (ai != 0)
+        has = cand.any(axis=1)
+        j = np.argmax(cand, axis=1)
+        take = has & active
+        match_j[take, i] = j[take]
+        used_b[take, j[take]] = True
+
+    matched_i = match_j >= 0
+    m = matched_i.sum(axis=1).astype(np.float64)
+
+    # transpositions: a's matched chars in i-order vs b's matched chars in
+    # j-order (stable argsort pushes matched positions to the front of each)
+    order_a = np.argsort(~matched_i, axis=1, kind="stable")
+    a_g = np.take_along_axis(a, order_a, axis=1)
+    valid_a = np.take_along_axis(matched_i, order_a, axis=1)
+    order_b = np.argsort(~used_b, axis=1, kind="stable")
+    b_g = np.take_along_axis(b, order_b, axis=1)
+    # integer halving of the mismatch count (Winkler's original C code and
+    # DuckDB both floor here)
+    t = (((a_g != b_g) & valid_a).sum(axis=1) // 2).astype(np.float64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (
+            m / np.maximum(la, 1) + m / np.maximum(lb, 1) + (m - t) / np.maximum(m, 1)
+        ) / 3.0
+    jaro = np.where(m == 0, 0.0, jaro)
+    # identical empty strings: DuckDB returns 1.0 for ''==''? both len 0 -> m=0
+    # keep 0.0; tests pin the convention against DuckDB.
+
+    # Winkler prefix boost: common prefix up to 4 chars, scale 0.1, applied
+    # only above the standard boost threshold 0.7 (matches DuckDB)
+    prefix_eq = (a[:, :4] == b[:, :4]) & (a[:, :4] != 0)
+    # running AND to stop at first mismatch
+    run = np.cumprod(prefix_eq, axis=1).astype(np.int64)
+    ell = run.sum(axis=1).astype(np.float64)
+    jw = np.where(jaro > 0.7, jaro + ell * 0.1 * (1.0 - jaro), jaro)
+    return jw
+
+
+@pandas_udf(DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(np.round(jaro_winkler_np(a, b), 6))

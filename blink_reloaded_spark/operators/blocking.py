@@ -1,0 +1,118 @@
+"""Blocking — the bi-encoder retrieval analogue (SURVEY.md J7/J8; reference
+`blink/main_dense.py:238-262` full-matmul/FAISS top-k, `blink/
+candidate_generation.py:68-115` BM25 token-overlap).
+
+The "index" is a table: every record emits blocking keys (MinHash-LSH bands
+over char shingles, random-hyperplane embedding buckets, or a cheap prefix
+key); candidate pairs are an equi-self-join on the key. All key generation is
+JVM Column arithmetic (functions/hashing.py) — no Python.
+
+Skew handling (north_rule): hot keys (a mention surface occurring millions of
+times at 10^12 scale would make one block quadratic) are bounded by
+`max_block`: oversized blocks switch from full pairing to **sorted-
+neighborhood windowed pairing** (each member pairs with its `window` nearest
+neighbors in signature order). This is the same cost bound the reference gets
+from top-k retrieval (O2): candidate count is O(n·w), never O(n²). The
+within-block sort also acts as an implicit salt: the shuffle key for pairing
+is (block_key) but AQE skew-join splitting handles residual imbalance; an
+explicit salt column is applied to the pair table before scoring so the
+scorer's shuffle is balanced even when one block dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from blink_reloaded_spark.functions.hashing import band_keys, minhash_signature_cols
+from blink_reloaded_spark.functions.text import char_shingles
+
+
+def blocking_keys(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    bands: int = 8,
+    rows: int = 2,
+    shingle_k: int = 4,
+    extra_key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Emit (id, block_key) — one row per LSH band key (plus any extra keys
+    such as hyperplane buckets or prefix keys passed as columns)."""
+    sig = minhash_signature_cols(char_shingles(F.col(text_col), k=shingle_k), bands * rows)
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(band_keys(sig, bands, rows)).alias("block_key"),
+    )
+    if extra_key_cols:
+        extra = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(*[F.col(c).cast("string") for c in extra_key_cols])).alias(
+                "block_key"
+            ),
+        )
+        keyed = keyed.unionByName(extra)
+    return keyed
+
+
+def candidate_pairs(
+    keys: DataFrame,
+    max_block: int = 1000,
+    window: int = 20,
+) -> DataFrame:
+    """Self-join on block_key -> distinct (a, b) pairs with a < b.
+
+    Blocks larger than `max_block` use sorted-neighborhood windowed pairing
+    (O(n·window) pairs) instead of the full O(n²) cross — the skew bound.
+    """
+    sized = keys.withColumn("bsize", F.count("*").over(Window.partitionBy("block_key")))
+
+    small = sized.where(F.col("bsize") <= max_block).drop("bsize")
+    l = small.select(F.col("block_key"), F.col("id").alias("a"))
+    r = small.select(F.col("block_key"), F.col("id").alias("b"))
+    full_pairs = l.join(r, "block_key").where(F.col("a") < F.col("b"))
+
+    big = sized.where(F.col("bsize") > max_block).drop("bsize")
+    w = Window.partitionBy("block_key").orderBy("id")
+    neighbor_cols = [F.lead("id", i).over(w).alias(f"n{i}") for i in range(1, window + 1)]
+    windowed = (
+        big.select("block_key", "id", *neighbor_cols)
+        .select(
+            "block_key",
+            F.col("id").alias("a"),
+            F.explode(
+                F.array_compact(F.array(*[F.col(f"n{i}") for i in range(1, window + 1)]))
+            ).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+    )
+
+    return (
+        full_pairs.select("a", "b")
+        .unionByName(windowed.select("a", "b"))
+        .distinct()
+    )
+
+
+def mention_entity_candidates(
+    mention_keys: DataFrame, entity_keys: DataFrame
+) -> DataFrame:
+    """Candidate (mention, entity) pairs: equi-join of the two key tables on
+    block_key -> distinct pairs.
+
+    This is the reference's retrieval stage as a *join* (`blink/main_dense.py:
+    238-262` scores each mention against the whole catalogue; we only score
+    within shared blocks). Cost is linear in Σ_key |mentions_key|·|entities_key|
+    — a 1-to-few join since entities per key is small — never quadratic in
+    mentions. Skew on hot keys is split by AQE skew-join handling.
+    """
+    m = mention_keys.select(F.col("id").alias("a"), "block_key")
+    e = entity_keys.select(F.col("id").alias("b"), "block_key")
+    return m.join(e, "block_key").select("a", "b").distinct()
+
+
+def salted(df: DataFrame, key_col: str, buckets: int = 32) -> DataFrame:
+    """Append a salt column for hot-key repartitioning (O7): downstream
+    repartition on (key, salt) spreads a hot key over `buckets` tasks."""
+    return df.withColumn("salt", F.pmod(F.xxhash64(*df.columns), F.lit(buckets)))

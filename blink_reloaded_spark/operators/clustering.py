@@ -1,0 +1,112 @@
+"""Transitive clustering: iterative large-star / small-star connected
+components over the match-edge DataFrame (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SOCC'14 — the standard shuffle-bounded
+CC algorithm; converges in O(log² n) rounds, each round two group-by-min
+shuffles).
+
+Semantic bridge to the reference (SURVEY.md §7.0): the reference groups
+mentions by argmax-predicted entity id (`blink/candidate_ranking/
+bert_reranking.py:223-227`); transitive closure over accepted mention->entity
+edges reproduces exactly that equivalence relation, with cluster_id
+canonicalized to the component-minimum node id so output is invariant under
+partitioning and row order (determinism rule, FIXTURES.md).
+
+Driver-side loop is over *iterations* (log-many), never over rows; each
+iteration `localCheckpoint`s to truncate lineage (on a cluster: reliable
+`checkpoint()` against the checkpoint dir — parameterized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Orient (src > dst), drop self-loops, distinct."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.withColumn("m", F.least("mn", "src")).drop("mn")
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    e = _canonical(edges)  # src > dst
+    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr = (
+        e.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_e = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return nbr.union(self_e).where(F.col("src") != F.col("dst")).distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) sum: immune to int64 overflow under ANSI mode
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Compute connected components of an undirected edge list.
+
+    Parameters
+    ----------
+    edges : DataFrame(src: long, dst: long)
+    nodes : optional DataFrame(node: long) — include isolated nodes as
+        singleton components.
+
+    Returns DataFrame(node: long, component: long) with
+    component = min(node id in the component).
+    """
+    e = _canonical(edges).localCheckpoint()
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iters")
+
+    # fixed point: e = {(node, root)} star edges with root = component min
+    assign = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component")).distinct()
+    out = assign.union(roots).distinct()
+    if nodes is not None:
+        singles = (
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+            .distinct()
+            .join(out, "node", "left_anti")
+            .select("node", F.col("node").alias("component"))
+        )
+        out = out.union(singles)
+    return out

