@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is materialized through the noop sink (full plan execution, no
+write cost, no count()-based plan pruning). The flagship linkage pipeline
+runs on datagen transcripts sized ~50k turns (FIXTURES.md bench-small) and
+also reports turns/sec; scripts/bench_scaling.py runs the same job at two
+parallelism levels for the scaling-efficiency evidence (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from blink_reloaded_spark.session import get_spark
+    from blink_reloaded_spark.queries import build_registry
+
+    spark = get_spark(
+        app_name="blink-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+    )
+    queries, _ = build_registry()
+
+    headline = [
+        "q01_pricing_summary",
+        "q03_topk_per_group",
+        "q08_cumulative_window",
+        "text01_quality",
+        "dedup03_minhash_lsh",
+        "ann03_lsh_topk",
+        "er04_clusters",
+    ]
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        _noop(queries[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+        print(f"{name}: {times[name]}s", file=sys.stderr)
+
+    # flagship linkage pipeline on ~50k generated turns
+    from blink_reloaded_spark import datagen
+    from blink_reloaded_spark.plans.pipeline import LinkagePipeline
+
+    cat = datagen.EntityCatalog.build(n_entities=200)
+    tr, me = datagen.generate_transcripts(
+        spark, cat, n_convs=1900, turns_per_conv=25, hot_conv_factor=100
+    )
+    tr = tr.localCheckpoint()  # materialize input so we time the pipeline
+    me = me.localCheckpoint()
+    n_turns = tr.count()
+    t0 = time.time()
+    clusters = LinkagePipeline(spark).run(tr, cat.entities_df(spark), mentions=me)
+    _noop(clusters)
+    times["pipeline_linkage"] = round(time.time() - t0, 3)
+    turns_per_sec = round(n_turns / times["pipeline_linkage"], 1)
+    print(
+        f"pipeline_linkage: {times['pipeline_linkage']}s "
+        f"({n_turns} turns, {turns_per_sec} turns/s)",
+        file=sys.stderr,
+    )
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "pipeline_turns": n_turns,
+                "pipeline_turns_per_sec": turns_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

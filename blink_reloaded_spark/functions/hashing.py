@@ -113,6 +113,47 @@ def simhash64(toks: Column, nbits: int = 32) -> Column:
     return out
 
 
+def minhash_band_keys_exploded(
+    df,
+    id_col: str,
+    shingles: Column,
+    bands: int,
+    rows: int,
+):
+    """Scale-path MinHash-LSH keys: (id, block_key), one row per band.
+
+    Shape: explode shingles -> one flat poly_hash per (id, shingle) row ->
+    groupBy(id) with bands*rows min-aggregates -> band-key strings -> explode.
+    All expressions stay flat (no nested array lambdas), so whole-stage
+    codegen holds; the single shuffle is the groupBy(id), with map-side
+    partial mins. Equivalent by construction to
+    band_keys(minhash_signature_cols(...)) — pinned by a test.
+    """
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
+    h = exploded.select("id", poly_hash(F.col("s")).alias("h"))
+    aggs = [
+        F.min(perm_hash(F.col("h"), i)).alias(f"mh{i}") for i in range(bands * rows)
+    ]
+    sig = h.groupBy("id").agg(*aggs)
+    # empty-shingle ids never appear after explode; callers with possibly
+    # empty shingle sets should union them back with sentinel keys if needed
+    keys = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            F.concat_ws(
+                "_",
+                *[
+                    F.coalesce(F.col(f"mh{b * rows + r}"), F.lit(P)).cast("string")
+                    for r in range(rows)
+                ],
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("id", F.explode(F.array(*keys)).alias("block_key"))
+
+
 def exact_text_key(c: Column) -> Column:
     """Exact-dedup key: portable hash of normalized text (plus length to cut
     collision odds). Used by the hash-groupBy exact dedup."""

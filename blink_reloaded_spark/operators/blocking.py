@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from blink_reloaded_spark.functions.hashing import band_keys, minhash_signature_cols
+from blink_reloaded_spark.functions.hashing import minhash_band_keys_exploded
 from blink_reloaded_spark.functions.text import char_shingles
 
 
@@ -40,10 +40,8 @@ def blocking_keys(
 ) -> DataFrame:
     """Emit (id, block_key) — one row per LSH band key (plus any extra keys
     such as hyperplane buckets or prefix keys passed as columns)."""
-    sig = minhash_signature_cols(char_shingles(F.col(text_col), k=shingle_k), bands * rows)
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(band_keys(sig, bands, rows)).alias("block_key"),
+    keyed = minhash_band_keys_exploded(
+        df, id_col, char_shingles(F.col(text_col), k=shingle_k), bands, rows
     )
     if extra_key_cols:
         extra = df.select(

@@ -92,7 +92,12 @@ class LinkagePipeline:
         )
 
         def stage(name: str, build, **kw) -> DataFrame:
-            return ckpt.stage(name, build, **kw) if ckpt else build()
+            if ckpt:
+                return ckpt.stage(name, build, **kw)
+            # no checkpoint store: still materialize each stage once —
+            # downstream actions (stage metrics, CC iterations) must not
+            # re-execute the upstream DAG (the scorer in particular)
+            return build().localCheckpoint()
 
         # -- 1. mentions ----------------------------------------------------
         def build_mentions() -> DataFrame:

@@ -1,0 +1,890 @@
+"""Driver-contract query registry: every SURVEY.md §2 operator family gets a
+(spark_fn, duckdb_oracle_sql) pair over the driver's testdata tables.
+
+Conventions for engine parity (driver compares row count + schema +
+order-insensitive value hash, columns sorted by name):
+* every computed column aliased identically in both dialects;
+* money aggregates via exact DECIMAL casts, final cast to double + round;
+* floats rounded to 6dp (4dp for large sums);
+* timestamps emitted as epoch seconds (BIGINT) — session TZ is UTC;
+* never emit array columns.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from blink_reloaded_spark.functions import embedding as emb
+from blink_reloaded_spark.functions import text as tx
+from blink_reloaded_spark.functions.hashing import (
+    exact_text_key,
+    minhash_band_keys_exploded,
+    poly_hash,
+    simhash64,
+)
+from blink_reloaded_spark.functions.similarity import (
+    jaro_winkler_udf,
+    levenshtein_sim,
+)
+from blink_reloaded_spark.operators.clustering import connected_components
+from blink_reloaded_spark import oracle as osql
+
+# --------------------------------------------------------------------------
+# shared constants (both dialects derive from these)
+# --------------------------------------------------------------------------
+
+ER_DICT = ["a", "agg", "part", "spark", "sort", "scan"]  # mention dictionary
+ER_MAX_DOC = 80  # er queries run on doc_id < ER_MAX_DOC (bounded pair count)
+ER_THRESHOLD = 0.79  # accepts same-word pairs (1.0) + ('a','agg') (0.8)
+DEDUP_TAU = 0.8  # 5-gram jaccard near-dup threshold (corpus: dups >=0.93)
+DEDUP_BANDS, DEDUP_ROWS = 8, 2  # P(miss j=0.93) = (1-j^2)^8 ~ 8e-8
+ANN_K = 5
+ANN_NQUERY = 30
+HP_PLANES = emb._hyperplanes(8)
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(c, prec="decimal(30,10)"):
+    return F.col(c).cast(prec) if isinstance(c, str) else c.cast(prec)
+
+
+# --------------------------------------------------------------------------
+# relational core (SURVEY.md §2.2-2.7)
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """A1/A4-style grouped aggregation (TPC-H Q1 shape): exact decimal sums.
+    Reference analogue: per-dataset metric rollups (evaluator.py:16-91)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("sum_base"),
+        F.round(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(30,10)") - _dec("l_discount"))
+            ).cast("double"),
+            2,
+        ).alias("sum_disc_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_base,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10)) *
+              (CAST(1 AS DECIMAL(30,10)) - CAST(l_discount AS DECIMAL(30,10)))) AS DOUBLE), 2)
+    AS sum_disc_price,
+  count(*) AS n_rows
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q02_dim_join_rollup(spark, sf_dir):
+    """J1 broadcast dimension joins + agg (title->id dict lookups,
+    main_dense.py:121-144)."""
+    c = T(spark, sf_dir, "customer")
+    n = F.broadcast(T(spark, sf_dir, "nation"))
+    r = F.broadcast(T(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum(_dec("c_acctbal")).cast("double"), 2).alias("sum_bal"),
+        )
+    )
+
+
+SQL_Q02 = """
+SELECT r_name, n_name, count(*) AS n_cust,
+  round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q03_topk_per_group(spark, sf_dir):
+    """W1 top-k per group + J2 enrichment join (top-k candidates then
+    id->title join, crossencoder/data_process.py:56-74)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 400000)
+    p = T(spark, sf_dir, "part")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), "l_linenumber"
+    )
+    top = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+    return top.join(p, top.l_partkey == p.p_partkey).select(
+        "l_orderkey", "rank", "p_name", "l_extendedprice"
+    )
+
+
+SQL_Q03 = """
+WITH top AS (
+  SELECT l_orderkey, l_partkey, l_extendedprice,
+    row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_extendedprice DESC, l_linenumber) AS rank
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_totalprice >= 400000
+)
+SELECT l_orderkey, rank, p_name, l_extendedprice
+FROM top JOIN part ON l_partkey = p_partkey
+WHERE rank <= 3
+"""
+
+
+def q04_anti_join(spark, sf_dir):
+    """J10 left_anti (missing_pages counting, main_dense.py:160-170)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_Q04 = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q05_semi_join(spark, sf_dir):
+    """P4 left_semi label-presence filter (main_dense.py:183-198)."""
+    s = T(spark, sf_dir, "supplier")
+    rich = T(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    return s.join(
+        rich, s.s_nationkey == rich.c_nationkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+SQL_Q05 = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9000)
+"""
+
+
+def q06_fallback_join(spark, sf_dir):
+    """J3 two-key fallback join (wikipedia<->wikidata: join on title, misses
+    retry on id, link_wikipedia_and_wikidata.py:76-102). Synthetic dirty key:
+    every 10th customer's nationkey is 'missing' and resolves via the
+    fallback key (c_nationkey % 5)."""
+    c = T(spark, sf_dir, "customer").withColumn(
+        "k_primary",
+        F.when(F.col("c_custkey") % 10 != 0, F.col("c_nationkey")),
+    )
+    n = F.broadcast(T(spark, sf_dir, "nation"))
+    hit = c.where(F.col("k_primary").isNotNull()).join(
+        n, F.col("k_primary") == n.n_nationkey
+    )
+    miss = c.where(F.col("k_primary").isNull()).join(
+        n, F.col("c_nationkey") % 5 == n.n_nationkey
+    )
+    return hit.select("c_custkey", "n_name").unionByName(
+        miss.select("c_custkey", "n_name")
+    )
+
+
+SQL_Q06 = """
+SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey % 10 != 0
+UNION ALL
+SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey % 5 = n_nationkey
+WHERE c_custkey % 10 = 0
+"""
+
+
+def q07_conditional_agg(spark, sf_dir):
+    """A4 bucketed conditional aggregation (Stats r@k, zeshel_utils.py:70-99)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.sum((F.col("l_quantity") <= q).cast("long"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias(f"share_le_{q}")
+            for q in (10, 25, 50)
+        ],
+        F.count("*").alias("n"),
+    )
+
+
+SQL_Q07 = """
+SELECT l_returnflag,
+  round(sum(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS share_le_10,
+  round(sum(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS share_le_25,
+  round(sum(CASE WHEN l_quantity <= 50 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS share_le_50,
+  count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def q08_cumulative_window(spark, sf_dir):
+    """W5 cumulative window (recall curve cumsum, evaluator.py:109-115)."""
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("cum_value"),
+    )
+
+
+SQL_Q08 = """
+SELECT event_id, user_id,
+  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value
+FROM events
+"""
+
+
+def q09_stable_ids(spark, sf_dir):
+    """W6 stable positional ids (local_idx assignment, main_dense.py:125-144)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.orderBy("user_id", "ts", "event_id")
+    return e.select(
+        "event_id", (F.row_number().over(w) - 1).cast("long").alias("rid")
+    )
+
+
+SQL_Q09 = """
+SELECT event_id,
+  CAST(row_number() OVER (ORDER BY user_id, ts, event_id) - 1 AS BIGINT) AS rid
+FROM events
+"""
+
+
+def q10_sort_limit(spark, sf_dir):
+    """Global sort + limit (benchmark run sorting, utils.py:297)."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+SQL_Q10 = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q11_setops(spark, sf_dir):
+    """§2.7 set operations: union / except (titles_to_delete removal,
+    data_ingestion.py:150-151)."""
+    c = T(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    d = c.where(F.col("c_nationkey") < 5).select("c_custkey")
+    return a.union(b).distinct().exceptAll(d.distinct())
+
+
+SQL_Q11 = """
+SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_nationkey < 5
+"""
+
+
+def q12_regex_extract(spark, sf_dir):
+    """F7 regex extraction + cast (curid munging, main_dense.py:131-136)."""
+    e = T(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+SQL_Q12 = """
+SELECT event_type,
+  sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+  count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q13_normalize_keys(spark, sf_dir):
+    """F10 key normalization (strip/replace/capitalize second-chance keys,
+    enrich_data.py:121-131)."""
+    n = T(spark, sf_dir, "nation")
+    norm = F.concat(
+        F.upper(F.substring(F.trim(F.lower(F.col("n_name"))), 1, 1)),
+        F.expr("substring(trim(lower(n_name)), 2)"),
+    )
+    return n.select(
+        "n_nationkey",
+        norm.alias("norm_name"),
+        F.regexp_replace(F.lower("n_name"), " ", "_").alias("slug"),
+    )
+
+
+SQL_Q13 = """
+SELECT n_nationkey,
+  upper(substr(trim(lower(n_name)), 1, 1)) || substr(trim(lower(n_name)), 2) AS norm_name,
+  regexp_replace(lower(n_name), ' ', '_', 'g') AS slug
+FROM nation
+"""
+
+
+def q14_grouping_rollup(spark, sf_dir):
+    """A2 one-dim rollup: per-group + overall (per-dataset recall then
+    overall, evaluator.py:16-91)."""
+    o = T(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("sum_price"),
+    )
+    tot = o.agg(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.count("*").alias("n"),
+        F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("sum_price"),
+    )
+    return per.unionByName(tot)
+
+
+SQL_Q14 = """
+SELECT o_orderpriority, count(*) AS n,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_price
+FROM orders GROUP BY 1
+UNION ALL
+SELECT 'ALL', count(*),
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2)
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis (training-data pipeline ops)
+# --------------------------------------------------------------------------
+
+
+def text01_quality(spark, sf_dir):
+    """Document quality scoring: lengths, punct/stopword ratios."""
+    d = T(spark, sf_dir, "documents")
+    cols = tx.quality_score_cols(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
+def _sql_text01():
+    cols = osql.sql_quality_cols("text")
+    sel = ",\n  ".join(f"{v} AS {k}" for k, v in cols.items())
+    return f"SELECT doc_id,\n  {sel}\nFROM documents"
+
+
+def text02_langid(spark, sf_dir):
+    """Language-ID heuristic vs the stored lang column."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tx.lang_id_col(F.col("text")).alias("lang_pred"))
+
+
+def _sql_text02():
+    return f"SELECT doc_id, lang, {osql.sql_lang_id('text')} AS lang_pred FROM documents"
+
+
+def text03_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.rolling_fingerprint(F.col("text")).alias("fp"))
+
+
+def _sql_text03():
+    return f"SELECT doc_id, {osql.sql_rolling_fingerprint('text')} AS fp FROM documents"
+
+
+def text04_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish token counting."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.word_count(F.col("text")).alias("n_words"),
+        tx.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+    )
+
+
+def _sql_text04():
+    return (
+        f"SELECT doc_id, {osql.sql_word_count('text')} AS n_words,"
+        f" {osql.sql_bpe_count('text')} AS n_bpe FROM documents"
+    )
+
+
+# --------------------------------------------------------------------------
+# deduplication suite
+# --------------------------------------------------------------------------
+
+
+def dedup01_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized text; keep = min doc_id."""
+    d = T(spark, sf_dir, "documents").withColumn(
+        "tkey", exact_text_key(F.col("text"))
+    )
+    w = Window.partitionBy("tkey")
+    return d.select(
+        "doc_id",
+        (F.count("*").over(w) > 1).alias("is_dup"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+
+
+SQL_DEDUP01 = None  # filled below (needs oracle snippets)
+
+
+def dedup02_ngram_jaccard(spark, sf_dir):
+    """Exact 5-gram jaccard near-dup pairs (the ground truth the LSH path
+    must reproduce)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tx.char_shingles(F.col("text"), 5).alias("sh")
+    )
+    e = d.select("doc_id", F.explode("sh").alias("s"))
+    sz = d.select("doc_id", F.size("sh").alias("n"))
+    pairs = (
+        e.alias("x")
+        .join(e.alias("y"), "s")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("ni"))
+    )
+    out = (
+        pairs.join(sz.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sz.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn(
+            "jacc",
+            F.round(F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")).cast("double"), 6),
+        )
+        .where(F.col("jacc") >= DEDUP_TAU)
+    )
+    return out.select("a", "b", "jacc")
+
+
+def _sql_dedup02():
+    sh = osql.sql_char_shingles("text", 5)
+    return f"""
+WITH d AS (SELECT doc_id, {sh} AS sh FROM documents),
+e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+sz AS (SELECT doc_id, len(sh) AS n FROM d),
+p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+      FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT a, b, round(ni / CAST(sa.n + sb.n - ni AS DOUBLE), 6) AS jacc
+FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+WHERE round(ni / CAST(sa.n + sb.n - ni AS DOUBLE), 6) >= {DEDUP_TAU}
+"""
+
+
+def dedup03_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs: band-bucket join generates candidates,
+    exact jaccard verifies — the scale path (candidates are linear-ish in
+    corpus size; the quadratic shingle self-join never happens). Oracle =
+    the exact-jaccard SQL: LSH recall at tau is ~1 by construction
+    (P(miss j>=0.93) = (1-j^2)^8 ~ 8e-8)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tx.char_shingles(F.col("text"), 5).alias("sh")
+    )
+    sig = minhash_band_keys_exploded(
+        d, "doc_id", F.col("sh"), DEDUP_BANDS, DEDUP_ROWS
+    ).withColumnRenamed("id", "doc_id").withColumnRenamed("block_key", "bk")
+    cand = (
+        sig.alias("x")
+        .join(sig.alias("y"), "bk")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    e = d.select("doc_id", F.explode("sh").alias("s"))
+    sz = d.select("doc_id", F.size("sh").alias("n"))
+    # verify-join on the composite (doc, shingle) key — joining on doc id
+    # alone and filtering s==s2 afterwards would expand every candidate
+    # pair by |shingles|^2 rows
+    ni = (
+        cand.join(e.select(F.col("doc_id").alias("a"), "s"), "a")
+        .join(e.select(F.col("doc_id").alias("b"), "s"), ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("ni"))
+    )
+    out = (
+        ni.join(sz.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sz.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn(
+            "jacc",
+            F.round(F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")).cast("double"), 6),
+        )
+        .where(F.col("jacc") >= DEDUP_TAU)
+    )
+    return out.select("a", "b", "jacc")
+
+
+def dedup04_simhash(spark, sf_dir):
+    """Portable SimHash per document (dedup by hamming-ball grouping)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", simhash64(tx.tokens(F.col("text")), 32).alias("simhash")
+    )
+
+
+def _sql_dedup04():
+    return (
+        f"SELECT doc_id, {osql.sql_simhash(osql.sql_tokens('text'), 32)} AS simhash"
+        f" FROM documents"
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search (ANN over embeddings)
+# --------------------------------------------------------------------------
+
+
+def ann01_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: the correctness baseline. Query side is
+    broadcast; candidate scan stays JVM-side (zip_with/aggregate)."""
+    v = T(spark, sf_dir, "embeddings")
+    q = v.where(F.col("vec_id") < ANN_NQUERY).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pairs = F.broadcast(q).crossJoin(
+        v.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    ).where(F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid",
+        "nid",
+        emb.cosine_similarity(F.col("qv"), F.col("nv")).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select("qid", "nid", "rank", "cos")
+    )
+
+
+def _sql_ann01():
+    cos = osql.sql_cosine("q.embedding", "c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid, {cos} AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {ANN_NQUERY}
+),
+ranked AS (
+  SELECT qid, nid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, cos FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def ann02_hyperplane_bucket(spark, sf_dir):
+    """Random-hyperplane LSH bucket assignment (the scale path for ANN:
+    join within bucket instead of full cross)."""
+    v = T(spark, sf_dir, "embeddings")
+    return v.select(
+        "vec_id", emb.hyperplane_bucket(F.col("embedding"), 8).alias("bucket")
+    )
+
+
+def _sql_ann02():
+    return (
+        f"SELECT vec_id, {osql.sql_hyperplane_bucket('embedding', HP_PLANES)}"
+        f" AS bucket FROM embeddings"
+    )
+
+
+def ann03_lsh_topk(spark, sf_dir):
+    """Bucketed ANN: cosine top-k *within* hyperplane bucket — the
+    100TB-shape query (shuffle on bucket, no global cross join)."""
+    v = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        emb.hyperplane_bucket(F.col("embedding"), 8).alias("bucket"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+    )
+    b = v.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"), "bucket"
+    )
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", emb.cosine_similarity(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("qid", "nid", "rank", "cos")
+    )
+
+
+def _sql_ann03():
+    bkt = osql.sql_hyperplane_bucket("embedding", HP_PLANES)
+    cos = osql.sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH v AS (SELECT vec_id, embedding, {bkt} AS bucket FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, {cos} AS cos
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT qid, nid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, cos FROM ranked WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# entity-resolution pipeline queries (SQL-parity variants over transcripts
+# derived deterministically from `documents` — same derivation both dialects)
+# --------------------------------------------------------------------------
+
+
+def _derived_transcripts(spark, sf_dir):
+    """conv_id = 'c'||(doc_id%40), turn_idx = doc_id//40 — the transcript
+    shape (input_hint) from the shared documents table."""
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") < ER_MAX_DOC)
+    return d.select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 40).cast("string")).alias("conv_id"),
+        F.floor(F.col("doc_id") / 40).cast("int").alias("turn_idx"),
+        "doc_id",
+        "text",
+    )
+
+
+SQL_ER_TRANSCRIPTS = f"""
+SELECT 'c' || CAST(doc_id % 40 AS VARCHAR) AS conv_id,
+       CAST(doc_id // 40 AS INT) AS turn_idx, doc_id, text
+FROM documents WHERE doc_id < {ER_MAX_DOC}
+"""
+
+
+def _er_dict_df(spark):
+    return spark.createDataFrame(
+        [(i, w) for i, w in enumerate(ER_DICT)], "wid long, word string"
+    )
+
+
+SQL_ER_DICT = "(VALUES " + ", ".join(
+    f"({i}, '{w}')" for i, w in enumerate(ER_DICT)
+) + ") AS dict(wid, word)"
+
+
+def er01_mentions(spark, sf_dir):
+    """U1 dictionary mention extraction, first occurrence per (turn, word),
+    1-based char offset via instr — SQL-parity variant of operators/
+    mentions.extract_mentions (the full multi-occurrence regex extractor is
+    exercised by the pipeline tests)."""
+    tr = _derived_transcripts(spark, sf_dir)
+    d = F.broadcast(_er_dict_df(spark))
+    m = tr.crossJoin(d).withColumn("pos", F.instr(F.col("text"), F.col("word")))
+    return m.where(F.col("pos") > 0).select(
+        (F.col("doc_id") * 10 + F.col("wid")).alias("mention_id"),
+        "conv_id",
+        "turn_idx",
+        F.col("word").alias("mention"),
+        F.col("pos").alias("start_pos"),
+    )
+
+
+def _sql_er01():
+    return f"""
+WITH tr AS ({SQL_ER_TRANSCRIPTS}),
+m AS (SELECT tr.*, dict.wid, dict.word, strpos(tr.text, dict.word) AS pos
+      FROM tr CROSS JOIN {SQL_ER_DICT})
+SELECT doc_id*10 + wid AS mention_id, conv_id, turn_idx,
+       word AS mention, pos AS start_pos
+FROM m WHERE pos > 0
+"""
+
+
+def _er_pairs(spark, sf_dir):
+    m = er01_mentions(spark, sf_dir).withColumn(
+        "bk", F.substring("mention", 1, 1)
+    )
+    a = m.select(F.col("mention_id").alias("a"), F.col("mention").alias("ma"), "bk")
+    b = m.select(F.col("mention_id").alias("b"), F.col("mention").alias("mb"), "bk")
+    return a.join(b, "bk").where(F.col("a") < F.col("b"))
+
+
+SQL_ER_PAIRS_BASE = """
+WITH tr AS ({tr}),
+m0 AS (SELECT tr.*, dict.wid, dict.word, strpos(tr.text, dict.word) AS pos
+       FROM tr CROSS JOIN {dict}),
+m AS (SELECT doc_id*10 + wid AS mention_id, word AS mention,
+             substr(word, 1, 1) AS bk
+      FROM m0 WHERE pos > 0),
+p AS (SELECT x.mention_id AS a, y.mention_id AS b, x.mention AS ma, y.mention AS mb
+      FROM m x JOIN m y ON x.bk = y.bk AND x.mention_id < y.mention_id)
+"""
+
+
+def er02_candidate_pairs(spark, sf_dir):
+    """Blocking self-join on prefix key -> candidate pairs (J7/J8 shape)."""
+    return _er_pairs(spark, sf_dir).select("a", "b")
+
+
+def _sql_er02():
+    base = SQL_ER_PAIRS_BASE.format(tr=SQL_ER_TRANSCRIPTS, dict=SQL_ER_DICT)
+    return base + "SELECT a, b FROM p"
+
+
+def er03_scored_pairs(spark, sf_dir):
+    """U4 pairwise scorer, SQL-parity feature subset (jw + levenshtein —
+    DuckDB has both; the embedding feature is covered by pipeline tests)."""
+    p = _er_pairs(spark, sf_dir)
+    jw = jaro_winkler_udf(F.col("ma"), F.col("mb"))
+    lev = levenshtein_sim(F.col("ma"), F.col("mb"))
+    return p.select(
+        "a",
+        "b",
+        F.round(jw, 6).alias("jw"),
+        lev.alias("lev_sim"),
+        F.round(jw * 0.6 + lev * 0.4, 6).alias("score"),
+    )
+
+
+def _sql_er03():
+    base = SQL_ER_PAIRS_BASE.format(tr=SQL_ER_TRANSCRIPTS, dict=SQL_ER_DICT)
+    jw = osql.sql_jaro_winkler("ma", "mb")
+    lev = osql.sql_levenshtein_sim("ma", "mb")
+    return base + (
+        f"SELECT a, b, {jw} AS jw, {lev} AS lev_sim,"
+        f" round({jw}*0.6 + {lev}*0.4, 6) AS score FROM p"
+    )
+
+
+def er04_clusters(spark, sf_dir):
+    """Transitive clustering over accepted edges — our large-star/small-star
+    connected components, oracle-checked against a recursive-CTE transitive
+    closure in DuckDB. cluster_id = min mention_id in the component."""
+    scored = er03_scored_pairs(spark, sf_dir)
+    edges = scored.where(F.col("score") >= ER_THRESHOLD).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    nodes = er01_mentions(spark, sf_dir).select(
+        F.col("mention_id").alias("node")
+    )
+    cc = connected_components(edges, nodes=nodes)
+    return cc.select(
+        F.col("node").alias("mention_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _sql_er04():
+    base = SQL_ER_PAIRS_BASE.format(tr=SQL_ER_TRANSCRIPTS, dict=SQL_ER_DICT)
+    base = base.replace("WITH tr AS", "WITH RECURSIVE tr AS", 1)
+    jw = osql.sql_jaro_winkler("ma", "mb")
+    lev = osql.sql_levenshtein_sim("ma", "mb")
+    return base + f""",
+e AS (SELECT a, b FROM p WHERE round({jw}*0.6 + {lev}*0.4, 6) >= {ER_THRESHOLD}),
+sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+reach(u, v) AS (
+  SELECT mention_id, mention_id FROM m
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS mention_id, min(v) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+
+def build_registry() -> tuple[
+    dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
+]:
+    dedup01_sql = f"""
+SELECT doc_id,
+  count(*) OVER (PARTITION BY tkey) > 1 AS is_dup,
+  doc_id = min(doc_id) OVER (PARTITION BY tkey) AS keep
+FROM (SELECT doc_id,
+        concat_ws('_', CAST({osql.sql_poly_hash(osql.sql_norm('text'))} AS VARCHAR),
+                  CAST(len({osql.sql_norm('text')}) AS VARCHAR)) AS tkey
+      FROM documents)
+"""
+    queries = {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_dim_join_rollup": q02_dim_join_rollup,
+        "q03_topk_per_group": q03_topk_per_group,
+        "q04_anti_join": q04_anti_join,
+        "q05_semi_join": q05_semi_join,
+        "q06_fallback_join": q06_fallback_join,
+        "q07_conditional_agg": q07_conditional_agg,
+        "q08_cumulative_window": q08_cumulative_window,
+        "q09_stable_ids": q09_stable_ids,
+        "q10_sort_limit": q10_sort_limit,
+        "q11_setops": q11_setops,
+        "q12_regex_extract": q12_regex_extract,
+        "q13_normalize_keys": q13_normalize_keys,
+        "q14_grouping_rollup": q14_grouping_rollup,
+        "text01_quality": text01_quality,
+        "text02_langid": text02_langid,
+        "text03_fingerprint": text03_fingerprint,
+        "text04_token_counts": text04_token_counts,
+        "dedup01_exact": dedup01_exact,
+        "dedup02_ngram_jaccard": dedup02_ngram_jaccard,
+        "dedup03_minhash_lsh": dedup03_minhash_lsh,
+        "dedup04_simhash": dedup04_simhash,
+        "ann01_cosine_topk": ann01_cosine_topk,
+        "ann02_hyperplane_bucket": ann02_hyperplane_bucket,
+        "ann03_lsh_topk": ann03_lsh_topk,
+        "er01_mentions": er01_mentions,
+        "er02_candidate_pairs": er02_candidate_pairs,
+        "er03_scored_pairs": er03_scored_pairs,
+        "er04_clusters": er04_clusters,
+    }
+    oracles = {
+        "q01_pricing_summary": SQL_Q01,
+        "q02_dim_join_rollup": SQL_Q02,
+        "q03_topk_per_group": SQL_Q03,
+        "q04_anti_join": SQL_Q04,
+        "q05_semi_join": SQL_Q05,
+        "q06_fallback_join": SQL_Q06,
+        "q07_conditional_agg": SQL_Q07,
+        "q08_cumulative_window": SQL_Q08,
+        "q09_stable_ids": SQL_Q09,
+        "q10_sort_limit": SQL_Q10,
+        "q11_setops": SQL_Q11,
+        "q12_regex_extract": SQL_Q12,
+        "q13_normalize_keys": SQL_Q13,
+        "q14_grouping_rollup": SQL_Q14,
+        "text01_quality": _sql_text01(),
+        "text02_langid": _sql_text02(),
+        "text03_fingerprint": _sql_text03(),
+        "text04_token_counts": _sql_text04(),
+        "dedup01_exact": dedup01_sql,
+        "dedup02_ngram_jaccard": _sql_dedup02(),
+        "dedup03_minhash_lsh": _sql_dedup02(),  # LSH must reproduce exact
+        "dedup04_simhash": _sql_dedup04(),
+        "ann01_cosine_topk": _sql_ann01(),
+        "ann02_hyperplane_bucket": _sql_ann02(),
+        "ann03_lsh_topk": _sql_ann03(),
+        "er01_mentions": _sql_er01(),
+        "er02_candidate_pairs": _sql_er02(),
+        "er03_scored_pairs": _sql_er03(),
+        "er04_clusters": _sql_er04(),
+    }
+    return queries, oracles

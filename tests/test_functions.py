@@ -1,0 +1,106 @@
+"""Function-kernel parity tests: the portable hash / similarity kernels must
+match DuckDB bit-for-bit — that's what makes the driver's oracle comparisons
+meaningful rather than coincidental."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from blink_reloaded_spark.functions.embedding import DIM, hashed_embedding_udf
+from blink_reloaded_spark.functions.hashing import P, PERMS, poly_hash
+from blink_reloaded_spark.functions.similarity import jaro_winkler_np
+from blink_reloaded_spark.functions.text import rolling_fingerprint, lang_id_col
+from blink_reloaded_spark.oracle import sql_poly_hash, sql_norm
+
+
+WORDS = ["acme corp", "acme", "", "a", "ab", "hello world", "  spaced  ", "x1y2"]
+
+
+def test_poly_hash_matches_duckdb(spark):
+    df = spark.createDataFrame([(w,) for w in WORDS], "t string")
+    got = {
+        r["t"]: r["h"]
+        for r in df.select("t", poly_hash(F.col("t")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for w in WORDS:
+        expect = con.execute(
+            f"select {sql_poly_hash('?')}", [w]
+        ).fetchone()[0]
+        assert got[w] == expect, w
+
+
+def test_jaro_winkler_matches_duckdb_exactly():
+    rng = random.Random(5)
+
+    def rnd(alpha):
+        return "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 20)))
+
+    words = WORDS + [rnd("abcdef ") for _ in range(60)] + [
+        rnd("abcdefghijklmnopqrstuvwxyz0123456789 ") for _ in range(60)
+    ]
+    pairs = [(rng.choice(words), rng.choice(words)) for _ in range(3000)]
+    pairs += [("martha", "marhta"), ("dixon", "dicksonx"), ("duane", "dwayne")]
+    mine = jaro_winkler_np(
+        pd.Series([p[0] for p in pairs]), pd.Series([p[1] for p in pairs])
+    )
+    con = duckdb.connect()
+    ref = np.array(
+        [
+            con.execute("select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+            for a, b in pairs
+        ]
+    )
+    assert np.abs(mine - ref).max() == 0.0
+
+
+def test_levenshtein_matches_duckdb(spark):
+    pairs = [("kitten", "sitting"), ("", "abc"), ("same", "same"), ("ab", "ba")]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [r[0] for r in df.select(F.levenshtein("a", "b")).collect()]
+    con = duckdb.connect()
+    ref = [
+        con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+        for a, b in pairs
+    ]
+    assert got == ref
+
+
+def test_minhash_perms_fit_int64():
+    # (a*h + b) with a,b,h < P=2^31-1 must stay within int64
+    assert all(1 <= a < P and 0 <= b < P for a, b in PERMS)
+    assert (P - 1) * (P - 1) + (P - 1) < 2**63
+
+
+def test_hashed_embedding_deterministic_and_normalized(spark):
+    df = spark.createDataFrame(
+        [("acme corp",), ("acme corp",), ("zzz",), ("",)], "t string"
+    )
+    rows = df.select(hashed_embedding_udf(F.col("t")).alias("v")).collect()
+    v0, v1, v2, v3 = [np.array(r["v"]) for r in rows]
+    assert len(v0) == DIM
+    assert np.allclose(v0, v1)  # deterministic
+    assert abs(np.linalg.norm(v0) - 1.0) < 1e-5  # L2-normalized
+    assert np.linalg.norm(v3) < 1e-6  # empty text -> zero vector
+    assert abs(float(v0 @ v2)) < 0.5  # unrelated strings not aligned
+
+
+def test_fingerprint_and_langid(spark):
+    df = spark.createDataFrame(
+        [("The AND of the is", "en"), ("der und das ist", "de"), ("xyz", "und")],
+        "t string, expect string",
+    )
+    out = df.select(
+        "expect",
+        lang_id_col(F.col("t")).alias("lang"),
+        rolling_fingerprint(F.col("t")).alias("fp"),
+    ).collect()
+    for r in out:
+        assert r["lang"] == r["expect"]
+        assert 0 <= r["fp"] < P

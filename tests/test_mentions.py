@@ -1,0 +1,64 @@
+"""Mention extraction (U1): the per-turn text-equality invariant — the
+reference's assert `mention == ' '.join(tokens[start:end+1])`
+(create_BLINK_zeshel_data.py:115) adapted to char offsets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blink_reloaded_spark import datagen
+from blink_reloaded_spark.operators.mentions import extract_mentions
+
+
+def test_extraction_offsets_reconstruct_text(spark):
+    cat = datagen.EntityCatalog.build(n_entities=20)
+    tr, gold = datagen.generate_transcripts(
+        spark, cat, n_convs=15, turns_per_conv=5, hot_conv_factor=3
+    )
+    surfaces = [a["surface"] for a in cat.aliases]
+    m = extract_mentions(tr, surfaces)
+    joined = m.join(tr.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+    bad = joined.where(
+        F.col("mention")
+        != F.lower(F.expr("substring(text, start_pos + 1, end_pos - start_pos)"))
+    ).count()
+    assert bad == 0
+    # context slices partition the turn exactly (main_dense.py:85-92)
+    bad_ctx = joined.where(
+        F.concat("context_left", "mention", "context_right") != F.lower("text")
+    ).count()
+    assert bad_ctx == 0
+
+
+def test_extraction_finds_all_gold_mentions(spark):
+    cat = datagen.EntityCatalog.build(n_entities=20)
+    tr, gold = datagen.generate_transcripts(
+        spark, cat, n_convs=15, turns_per_conv=5, hot_conv_factor=3
+    )
+    surfaces = [a["surface"] for a in cat.aliases]
+    m = extract_mentions(tr, surfaces)
+    missing = gold.join(
+        m.select("conv_id", "turn_idx", "start_pos"),
+        ["conv_id", "turn_idx", "start_pos"],
+        "left_anti",
+    ).count()
+    assert missing == 0
+
+
+def test_multi_occurrence_and_case(spark):
+    tr = spark.createDataFrame(
+        [("c1", 0, "Acme met acme; then ACME left.")],
+        "conv_id string, turn_idx int, text string",
+    )
+    m = extract_mentions(tr, ["acme"]).collect()
+    assert len(m) == 3
+    assert all(r["mention"] == "acme" for r in m)
+    assert sorted(r["start_pos"] for r in m) == [0, 9, 20]
+
+
+def test_longest_match_wins(spark):
+    tr = spark.createDataFrame(
+        [("c1", 0, "acme corp called")], "conv_id string, turn_idx int, text string"
+    )
+    m = extract_mentions(tr, ["acme", "acme corp"]).collect()
+    assert len(m) == 1 and m[0]["mention"] == "acme corp"

@@ -1,0 +1,80 @@
+"""End-to-end linkage pipeline: pairwise F1 >= 0.99 (the BASELINE.json
+acceptance metric), checkpoint resume equivalence, partitioning invariance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blink_reloaded_spark import datagen
+from blink_reloaded_spark.eval import pairwise_f1
+from blink_reloaded_spark.plans.pipeline import LinkagePipeline
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    cat = datagen.EntityCatalog.build(n_entities=50)
+    tr, me = datagen.generate_transcripts(
+        spark, cat, n_convs=50, turns_per_conv=10, hot_conv_factor=10
+    )
+    return cat, tr.cache(), me.cache()
+
+
+def _labeled_pairs(me):
+    a = me.select(
+        F.col("mention_id").alias("mention_a"),
+        F.col("label_id").alias("la"),
+        F.substring("mention", 1, 2).alias("k"),
+    )
+    b = me.select(
+        F.col("mention_id").alias("mention_b"),
+        F.col("label_id").alias("lb"),
+        F.substring("mention", 1, 2).alias("k"),
+    )
+    return (
+        a.join(b, "k")
+        .where(F.col("mention_a") < F.col("mention_b"))
+        .withColumn(
+            "is_match", (F.col("la") == F.col("lb")) & (F.col("la") >= 0)
+        )
+        .select("mention_a", "mention_b", "is_match")
+    )
+
+
+def test_f1_above_target(spark, fixture):
+    cat, tr, me = fixture
+    pipe = LinkagePipeline(spark)
+    clusters = pipe.run(tr, cat.entities_df(spark), mentions=me).cache()
+    m = pairwise_f1(clusters, _labeled_pairs(me))
+    assert m["precision"] == 1.0, m
+    assert m["f1"] >= 0.99, m
+    # sanity on stage metrics (north_rule counter metrics)
+    assert pipe.metrics["mentions"] == me.count()
+    assert pipe.metrics["links"] > 0 and pipe.metrics["clusters"] > 0
+
+
+def test_resume_from_checkpoint_identical(spark, fixture, tmp_path):
+    cat, tr, me = fixture
+    d = str(tmp_path / "ckpt")
+    p1 = LinkagePipeline(spark, checkpoint_dir=d)
+    c1 = p1.run(tr, cat.entities_df(spark), mentions=me)
+    p2 = LinkagePipeline(spark, checkpoint_dir=d)
+    c2 = p2.run(tr, cat.entities_df(spark), mentions=me)
+    assert c1.exceptAll(c2).isEmpty() and c2.exceptAll(c1).isEmpty()
+
+
+def test_clusters_invariant_under_repartition(spark, fixture):
+    cat, tr, me = fixture
+    ents = cat.entities_df(spark)
+    c1 = LinkagePipeline(spark).run(tr, ents, mentions=me.repartition(1))
+    c2 = LinkagePipeline(spark).run(tr, ents, mentions=me.repartition(13))
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+
+
+def test_turn_text_preserved(spark, fixture):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering —
+    input_hint invariant: the pipeline never mutates the transcript table."""
+    cat, tr, me = fixture
+    rows = tr.orderBy("conv_id", "turn_idx").select("text").limit(50).collect()
+    rows2 = tr.orderBy("conv_id", "turn_idx").select("text").limit(50).collect()
+    assert [r["text"] for r in rows] == [r["text"] for r in rows2]
