@@ -3,9 +3,9 @@ stand-in for the reference's BERT bi-encoder, `blink/biencoder/biencoder.py:
 159-170`), dot/cosine as JVM array expressions, and random-hyperplane sign
 buckets (the LSH analogue of the FAISS index, `blink/indexer/faiss_indexer.py`).
 
-The encoder is a feature-hashing bag-of-tokens projection: token t adds
-sign(t) to dimension h(t) % dim, then L2-normalize. It is a deterministic
-function of the token multiset — the property the pipeline actually relies on
+The encoder is a hashed char-trigram count projection: trigram g increments
+dimension h(g) % dim, then L2-normalize. It is a deterministic function of
+the character sequence — the property the pipeline actually relies on
 (reference precedent: the whole tokenize->encode path is deterministic given
 the model, `blink/biencoder/data_process.py:26-97`). Swap in a real model by
 replacing `hashed_embedding_udf` with a model-backed pandas UDF of the same
@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, FloatType
 
-DIM = 64  # matches the driver's embeddings.parquet dim
+# Encoder output dim. Unsigned counts (not signed feature-hashing): for
+# short surfaces (~12 trigrams) sign cancellation makes similarity noise —
+# observed anti-correlation with the true match — while unsigned trigram
+# counts give a monotone overlap measure; 256 dims keeps collision mass low.
+# (The driver's embeddings.parquet is 64-dim; that's a separate input table,
+# not this encoder's output.)
+DIM = 256
 
 
 MAX_CHARS = 256
@@ -64,11 +70,8 @@ def hashed_embedding_udf(texts: pd.Series) -> pd.Series:
             g = (mat[:, :-2] << np.uint64(16)) ^ (mat[:, 1:-1] << np.uint64(8)) ^ mat[:, 2:]
             gv = valid[:, 2:]
             bucket = ((g * np.uint64(_KNUTH)) & np.uint64(0xFFFFFFFF)) % np.uint64(DIM)
-            sign = np.where((g * np.uint64(_KNUTH)) & np.uint64(0x80000000), 1.0, -1.0).astype(
-                np.float32
-            )
             rows = np.broadcast_to(np.arange(n)[:, None], g.shape)
-            np.add.at(out, (rows[gv], bucket[gv].astype(np.int64)), sign[gv])
+            np.add.at(out, (rows[gv], bucket[gv].astype(np.int64)), np.float32(1.0))
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     out = out / np.maximum(norms, 1e-12)
     return pd.Series(list(out))
@@ -110,14 +113,14 @@ def _hyperplanes(nplanes: int, dim: int = DIM) -> np.ndarray:
     return rng.randn(nplanes, dim).astype(np.float64)
 
 
-def hyperplane_bucket(vec: Column, nplanes: int = 8) -> Column:
+def hyperplane_bucket(vec: Column, nplanes: int = 8, dim: int = DIM) -> Column:
     """Random-hyperplane LSH bucket id (long): bit j = sign(vec . plane_j).
 
     Pure Column arithmetic — the planes are literal arrays, the dot products
     stay in codegen. Vectors in the same bucket are cosine-close with high
     probability; used for embedding-based blocking and ANN.
     """
-    planes = _hyperplanes(nplanes)
+    planes = _hyperplanes(nplanes, dim)
     out = F.lit(0).cast("long")
     for j in range(nplanes):
         plane = F.array(*[F.lit(float(w)) for w in planes[j]])

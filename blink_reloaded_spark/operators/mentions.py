@@ -77,6 +77,13 @@ def extract_mentions(transcripts: DataFrame, surfaces: list[str]) -> DataFrame:
             yield pd.DataFrame(out)
 
     cols = transcripts.select("conv_id", "turn_idx", "text")
+    # own the parallelism: AQE coalesces small shuffle outputs to very few
+    # partitions (optimizing shuffle bytes, not downstream Python CPU) —
+    # a regex scan over text is CPU-heavy per byte, so spread it over all
+    # cores explicitly. At real scale the input has plenty of partitions
+    # and this rebalance is what keeps stragglers off hot conversations.
+    par = transcripts.sparkSession.sparkContext.defaultParallelism
+    cols = cols.repartition(par)
     mentions = cols.mapInPandas(gen, schema=MENTION_SCHEMA)
     # stable id from the ordering contract; xxhash64 is collision-safe enough
     # at test scale and avoids a global sort; a monotonic row_number variant

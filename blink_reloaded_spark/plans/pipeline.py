@@ -70,6 +70,10 @@ class LinkagePipeline:
     shingle_k: int = 3
     threshold: float = DEFAULT_THRESHOLD
     max_block: int = 1000
+    # counter metrics per stage (north_rule). collect_metrics=False skips the
+    # per-stage count() actions — use for throughput benchmarking where the
+    # extra jobs would dominate small-input wall time.
+    collect_metrics: bool = True
     metrics: dict[str, Any] = field(default_factory=dict)
 
     def run(
@@ -91,13 +95,23 @@ class LinkagePipeline:
             else None
         )
 
+        import time as _time
+
         def stage(name: str, build, **kw) -> DataFrame:
+            t0 = _time.time()
             if ckpt:
-                return ckpt.stage(name, build, **kw)
-            # no checkpoint store: still materialize each stage once —
-            # downstream actions (stage metrics, CC iterations) must not
-            # re-execute the upstream DAG (the scorer in particular)
-            return build().localCheckpoint()
+                out = ckpt.stage(name, build, **kw)
+            else:
+                # no checkpoint store: still materialize each stage once —
+                # downstream actions (stage metrics, CC iterations) must not
+                # re-execute the upstream DAG (the scorer in particular)
+                out = build().localCheckpoint()
+            self.metrics[f"{name}_sec"] = round(_time.time() - t0, 2)
+            return out
+
+        def count_metric(key: str, df: DataFrame) -> None:
+            if self.collect_metrics:
+                self.metrics[key] = df.count()
 
         # -- 1. mentions ----------------------------------------------------
         def build_mentions() -> DataFrame:
@@ -107,28 +121,46 @@ class LinkagePipeline:
             return extract_mentions(transcripts, surfaces)
 
         m = stage("mentions", build_mentions, inputs=["transcripts"])
-        self.metrics["mentions"] = m.count()
+        count_metric("mentions", m)
+        # downstream stages only need (mention_id, mention) — never ship the
+        # context strings through shuffles / the block store (column pruning
+        # the reference does by hand at O4; here it's an explicit projection
+        # because the checkpoint boundary would otherwise materialize all
+        # columns)
+        m_slim = m.select("mention_id", "mention")
 
-        # -- 2. nodes (encode) ------------------------------------------------
-        def build_nodes() -> DataFrame:
-            ment_nodes = m.select(
-                F.col("mention_id").alias("id"),
-                F.col("mention").alias("text"),
-                F.lit(True).alias("is_mention"),
+        # -- 2. surfaces (dedup + encode) --------------------------------------
+        # The scorer is a pure function of surface text (the determinism /
+        # F1-parity requirement, SURVEY §7.3e), so blocking/scoring/linking
+        # run once per DISTINCT surface, not once per mention — the same
+        # precompute-and-reuse move the reference makes for entity encodings
+        # (O1, main_dense.py:103-105). With zipfian surface frequencies at
+        # 10^12 turns this collapses the heavy stages by orders of magnitude;
+        # it is also the first skew fix: the hottest surface becomes ONE row.
+        def build_surfaces() -> DataFrame:
+            ment_surf = (
+                m_slim.select(F.col("mention").alias("text"))
+                .distinct()
+                .select(
+                    F.xxhash64(F.lit("surf"), "text").alias("id"),
+                    "text",
+                    F.lit(True).alias("is_mention"),
+                )
             )
-            ent_nodes = entities.select(
+            ent_surf = entities.select(
                 (F.lit(ENTITY_ID_OFFSET) - F.col("entity_id")).alias("id"),
                 F.lower(F.col("title")).alias("text"),
                 F.lit(False).alias("is_mention"),
             )
-            both = ment_nodes.unionByName(ent_nodes)
+            both = ment_surf.unionByName(ent_surf)
             return both.withColumn("vec", hashed_embedding_udf(F.col("text")))
 
-        nodes = stage("nodes", build_nodes, inputs=["mentions", "entities"])
+        surfaces_t = stage("surfaces", build_surfaces, inputs=["mentions", "entities"])
+        count_metric("distinct_surfaces", surfaces_t)
 
-        # -- 3. candidates ---------------------------------------------------
+        # -- 3. candidates (surface ⋈ entity on blocking keys) ------------------
         def build_candidates() -> DataFrame:
-            keyed = nodes.withColumn("prefix_key", _prefix_key("text"))
+            keyed = surfaces_t.withColumn("prefix_key", _prefix_key("text"))
             mk = blocking_keys(
                 keyed.where("is_mention"),
                 id_col="id",
@@ -149,17 +181,17 @@ class LinkagePipeline:
             )
             return mention_entity_candidates(mk, ek)
 
-        cands = stage("candidates", build_candidates, inputs=["nodes"])
-        self.metrics["candidate_pairs"] = cands.count()
+        cands = stage("candidates", build_candidates, inputs=["surfaces"])
+        count_metric("candidate_pairs", cands)
 
-        # -- 4. scoring + argmax link ------------------------------------------
+        # -- 4. scoring + argmax link (surface level) ---------------------------
         def build_links() -> DataFrame:
-            na = nodes.select(
+            na = surfaces_t.select(
                 F.col("id").alias("a"),
                 F.col("text").alias("a_text"),
                 F.col("vec").alias("a_vec"),
             )
-            nb = nodes.select(
+            nb = surfaces_t.select(
                 F.col("id").alias("b"),
                 F.col("text").alias("b_text"),
                 F.col("vec").alias("b_vec"),
@@ -167,23 +199,57 @@ class LinkagePipeline:
             scored = score_pairs(
                 cands.join(na, "a").join(nb, "b"), a_vec="a_vec", b_vec="b_vec"
             )
-            return link_best(scored, self.threshold)
+            best = link_best(scored, self.threshold)
+            # carry the surface text so mentions re-attach by text equality
+            return best.join(
+                surfaces_t.select(F.col("id").alias("a"), F.col("text").alias("surf_text")),
+                "a",
+            ).select("a", "b", "score", "surf_text")
 
-        links = stage("links", build_links, inputs=["candidates", "nodes"])
-        self.metrics["links"] = links.count()
+        links = stage("links", build_links, inputs=["candidates", "surfaces"])
+        count_metric("links", links)
 
         # -- 5. clustering -----------------------------------------------------
         def build_clusters() -> DataFrame:
+            # CC runs on the SURFACE graph (surface -> entity link edges) —
+            # provably equivalent to mention-level closure: mentions of the
+            # same linked surface connect through the entity anchor, and
+            # mentions of unlinked surfaces have no edges (singletons). The
+            # expansion to mentions is one broadcast join + one groupBy —
+            # mention-level cost is two linear shuffles, never log-rounds of
+            # 10^12-edge CC iterations.
             edges = links.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            comps = connected_components(
-                edges, nodes=nodes.where("is_mention").select("id")
+            # nodes=None: only LINKED surfaces get components — mentions of
+            # unlinked surfaces must stay singletons (FIXTURES F5: NIL
+            # mentions are singletons, the reference's no-prediction case)
+            comps = connected_components(edges)
+            # map components back through MENTION surfaces only: an exact
+            # alias equals the entity title, so joining through all
+            # surfaces_t rows would duplicate those mentions
+            surf_comp = comps.join(
+                surfaces_t.where("is_mention").select(
+                    F.col("id").alias("node"), F.col("text").alias("mention")
+                ),
+                "node",
+            ).select("mention", "component")
+            ml = m_slim.join(F.broadcast(surf_comp), "mention", "left")
+            linked = ml.where(F.col("component").isNotNull())
+            cmin = linked.groupBy("component").agg(
+                F.min("mention_id").alias("cluster_id")
             )
-            ments = comps.join(
-                nodes.where("is_mention").select(F.col("id").alias("node")), "node"
+            linked_out = linked.join(F.broadcast(cmin), "component").select(
+                F.col("mention_id").alias("node"), "cluster_id"
             )
-            cmin = ments.groupBy("component").agg(F.min("node").alias("cluster_id"))
-            return ments.join(cmin, "component").select("node", "cluster_id")
+            # NB: entity-anchor components never leak in: component ids are
+            # remapped to min *mention* id above; unlinked mentions are
+            # singletons
+            single_out = ml.where(F.col("component").isNull()).select(
+                F.col("mention_id").alias("node"),
+                F.col("mention_id").alias("cluster_id"),
+            )
+            return linked_out.unionByName(single_out)
 
-        clusters = stage("clusters", build_clusters, inputs=["links"])
-        self.metrics["clusters"] = clusters.select("cluster_id").distinct().count()
+        clusters = stage("clusters", build_clusters, inputs=["links", "mentions"])
+        if self.collect_metrics:
+            self.metrics["clusters"] = clusters.select("cluster_id").distinct().count()
         return clusters.select("node", F.col("cluster_id").alias("component"))

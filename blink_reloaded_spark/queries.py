@@ -45,7 +45,8 @@ DEDUP_TAU = 0.8  # 5-gram jaccard near-dup threshold (corpus: dups >=0.93)
 DEDUP_BANDS, DEDUP_ROWS = 8, 2  # P(miss j=0.93) = (1-j^2)^8 ~ 8e-8
 ANN_K = 5
 ANN_NQUERY = 30
-HP_PLANES = emb._hyperplanes(8)
+EMB_DIM = 64  # the driver's embeddings.parquet dimension
+HP_PLANES = emb._hyperplanes(8, EMB_DIM)
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -598,7 +599,7 @@ def ann02_hyperplane_bucket(spark, sf_dir):
     join within bucket instead of full cross)."""
     v = T(spark, sf_dir, "embeddings")
     return v.select(
-        "vec_id", emb.hyperplane_bucket(F.col("embedding"), 8).alias("bucket")
+        "vec_id", emb.hyperplane_bucket(F.col("embedding"), 8, EMB_DIM).alias("bucket")
     )
 
 
@@ -615,7 +616,7 @@ def ann03_lsh_topk(spark, sf_dir):
     v = T(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
-        emb.hyperplane_bucket(F.col("embedding"), 8).alias("bucket"),
+        emb.hyperplane_bucket(F.col("embedding"), 8, EMB_DIM).alias("bucket"),
     )
     a = v.select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
