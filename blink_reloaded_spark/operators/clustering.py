@@ -74,6 +74,7 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 30,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Compute connected components of an undirected edge list.
 
@@ -87,6 +88,26 @@ def connected_components(
     component = min(node id in the component).
     """
     e = _canonical(edges).localCheckpoint()
+    if num_partitions is None:
+        # size the iteration parallelism to the graph, not the session: each
+        # round is several shuffles of the (shrinking) edge set — running a
+        # 200-edge surface graph at 32 shuffle partitions is pure task
+        # overhead, while a 10^10-edge graph wants the full width
+        n_edges = e.count()
+        num_partitions = max(1, min(int(n_edges / 50_000) + 1,
+                                    e.sparkSession.sparkContext.defaultParallelism))
+    if e.rdd.getNumPartitions() > num_partitions:
+        e = e.coalesce(num_partitions)
+    spark = e.sparkSession
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    try:
+        return _cc_loop(e, nodes, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _cc_loop(e: DataFrame, nodes: DataFrame | None, max_iter: int) -> DataFrame:
     prev = _checksum(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()

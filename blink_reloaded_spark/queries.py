@@ -809,6 +809,224 @@ SELECT u AS mention_id, min(v) AS cluster_id FROM reach GROUP BY u
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# round-1 widening: macro/micro, gold-rank, residual join, truncation,
+# simhash pairs (pigeonhole-exact banding), embedding near-dup, multimodal
+# --------------------------------------------------------------------------
+
+
+def q15_macro_micro(spark, sf_dir):
+    """A6 macro vs micro accuracy shape (train_cross.py:102-122): per-group
+    mean then unweighted mean-of-means vs the global mean."""
+    c = T(spark, sf_dir, "customer")
+    per = c.groupBy("c_nationkey").agg(
+        (F.sum(_dec("c_acctbal")) / F.count("*")).alias("g")
+    )
+    macro = per.agg(F.round(F.avg(F.col("g").cast("double")), 6).alias("macro"))
+    micro = c.agg(
+        F.round((F.sum(_dec("c_acctbal")) / F.count("*")).cast("double"), 6).alias(
+            "micro"
+        )
+    )
+    return macro.crossJoin(micro)
+
+
+SQL_Q15 = """
+WITH per AS (
+  SELECT c_nationkey,
+         sum(CAST(c_acctbal AS DECIMAL(30,10))) / count(*) AS g
+  FROM customer GROUP BY 1
+)
+SELECT
+  (SELECT round(avg(CAST(g AS DOUBLE)), 6) FROM per) AS macro,
+  (SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) / count(*) AS DOUBLE), 6)
+   FROM customer) AS micro
+"""
+
+
+def q16_gold_rank(spark, sf_dir):
+    """W3 gold-rank extraction (nn_prediction.py:83-88): position of a
+    designated row (linenumber 1 = the 'gold') in the per-group ranking."""
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), "l_linenumber"
+    )
+    ranked = li.withColumn("rank", F.row_number().over(w))
+    return ranked.groupBy("l_orderkey").agg(
+        F.coalesce(
+            F.min(F.when(F.col("l_linenumber") == 1, F.col("rank"))), F.lit(-1)
+        ).cast("long").alias("gold_rank")
+    )
+
+
+SQL_Q16 = """
+WITH ranked AS (
+  SELECT l_orderkey, l_linenumber,
+    row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_extendedprice DESC, l_linenumber) AS rank
+  FROM lineitem
+)
+SELECT l_orderkey,
+  CAST(coalesce(min(CASE WHEN l_linenumber = 1 THEN rank END), -1) AS BIGINT) AS gold_rank
+FROM ranked GROUP BY 1
+"""
+
+
+def q17_join_residual(spark, sf_dir):
+    """Equi-join + residual predicate (ship >60 days after order) — the
+    non-equi condition rides on the equi shuffle, not a range join."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    j = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (
+            F.unix_timestamp("l_shipdate")
+            > F.unix_timestamp("o_orderdate") + F.lit(86400 * 60)
+        ),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_late"),
+        F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("sum_price"),
+    )
+
+
+SQL_Q17 = """
+SELECT o_orderpriority, count(*) AS n_late,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_price
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND epoch(l_shipdate) > epoch(o_orderdate) + 86400*60
+GROUP BY 1
+"""
+
+
+def text05_truncate(spark, sf_dir):
+    """F2 token-budget truncation (first-10 head / last-5 tail re-join,
+    reference `candidate_retrieval/utils.py:198-208` last-25/first-25)."""
+    d = T(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    head = F.array_join(F.slice(toks, 1, 10), " ")
+    tail = F.array_join(
+        F.slice(toks, F.greatest(F.size(toks) - F.lit(4), F.lit(1)), 5), " "
+    )
+    return d.select("doc_id", head.alias("head10"), tail.alias("tail5"))
+
+
+def _sql_text05():
+    toks = osql.sql_tokens("text")
+    return f"""
+SELECT doc_id,
+  array_to_string(list_slice({toks}, 1, 10), ' ') AS head10,
+  array_to_string(list_slice({toks}, greatest(len({toks}) - 4, 1), len({toks})), ' ') AS tail5
+FROM documents
+"""
+
+
+def dedup05_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, banded: 4 bands x 8 bits of the 32-bit
+    simhash; pairs sharing a band verified by exact hamming <= 3. Pigeonhole
+    guarantee: <=3 differing bits cannot touch all 4 bands, so banding has
+    recall exactly 1 at this threshold — the oracle is the exact O(n^2) SQL."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", simhash64(tx.tokens(F.col("text")), 32).alias("sh")
+    ).localCheckpoint()
+    bands = d.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(str(b)),
+                        F.shiftright(F.col("sh"), 8 * b).bitwiseAND(F.lit(255)).cast("string"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), "bk")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.sh").alias("sa"),
+            F.col("y.sh").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.where(ham <= 3).select("a", "b", ham.cast("long").alias("hamming"))
+
+
+def _sql_dedup05():
+    sh = osql.sql_simhash(osql.sql_tokens("text"), 32)
+    return f"""
+WITH d AS (SELECT doc_id, {sh} AS sh FROM documents)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+FROM d x JOIN d y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sh, y.sh)) <= 3
+"""
+
+
+def dedup06_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline; ann03 is the
+    LSH-bucketed scale path)."""
+    v = T(spark, sf_dir, "embeddings")
+    a = v.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = v.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    cos = emb.cosine_similarity(F.col("va"), F.col("vb"))
+    return pairs.select("a", "b", cos.alias("cos")).where(F.col("cos") >= 0.4)
+
+
+def _sql_dedup06():
+    cos = osql.sql_cosine("x.embedding", "y.embedding")
+    return f"""
+SELECT x.vec_id AS a, y.vec_id AS b, {cos} AS cos
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE {cos} >= 0.4
+"""
+
+
+def multimodal01_metadata(spark, sf_dir):
+    """Multimodal metadata over an opaque binary column (blob = utf-8 bytes
+    of the text, standing in for image/audio payloads): byte length, kind
+    tag, frame count — the JVM-side half of the multimodal suite (the
+    decode/feature UDFs are exercised in tests/test_multimodal.py; no codec
+    libs in this container)."""
+    d = T(spark, sf_dir, "documents")
+    blob = F.encode(tx.normalize_text(F.col("text")), "utf-8")
+    n_bytes = F.length(blob).cast("long")
+    return d.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (n_bytes % 3 + 1).cast("int"),
+        ).alias("kind"),
+        (F.floor(n_bytes / 64) + 1).cast("long").alias("n_frames"),
+    )
+
+
+def _sql_multimodal01():
+    norm = osql.sql_norm("text")
+    return f"""
+SELECT doc_id,
+  CAST(octet_length(encode({norm})) AS BIGINT) AS n_bytes,
+  ['image','audio','video'][CAST(octet_length(encode({norm})) % 3 + 1 AS INT)] AS kind,
+  CAST(octet_length(encode({norm})) // 64 + 1 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -841,17 +1059,24 @@ FROM (SELECT doc_id,
         "q12_regex_extract": q12_regex_extract,
         "q13_normalize_keys": q13_normalize_keys,
         "q14_grouping_rollup": q14_grouping_rollup,
+        "q15_macro_micro": q15_macro_micro,
+        "q16_gold_rank": q16_gold_rank,
+        "q17_join_residual": q17_join_residual,
         "text01_quality": text01_quality,
         "text02_langid": text02_langid,
         "text03_fingerprint": text03_fingerprint,
         "text04_token_counts": text04_token_counts,
+        "text05_truncate": text05_truncate,
         "dedup01_exact": dedup01_exact,
         "dedup02_ngram_jaccard": dedup02_ngram_jaccard,
         "dedup03_minhash_lsh": dedup03_minhash_lsh,
         "dedup04_simhash": dedup04_simhash,
+        "dedup05_simhash_pairs": dedup05_simhash_pairs,
+        "dedup06_embedding_cosine": dedup06_embedding_cosine,
         "ann01_cosine_topk": ann01_cosine_topk,
         "ann02_hyperplane_bucket": ann02_hyperplane_bucket,
         "ann03_lsh_topk": ann03_lsh_topk,
+        "multimodal01_metadata": multimodal01_metadata,
         "er01_mentions": er01_mentions,
         "er02_candidate_pairs": er02_candidate_pairs,
         "er03_scored_pairs": er03_scored_pairs,
@@ -872,17 +1097,24 @@ FROM (SELECT doc_id,
         "q12_regex_extract": SQL_Q12,
         "q13_normalize_keys": SQL_Q13,
         "q14_grouping_rollup": SQL_Q14,
+        "q15_macro_micro": SQL_Q15,
+        "q16_gold_rank": SQL_Q16,
+        "q17_join_residual": SQL_Q17,
         "text01_quality": _sql_text01(),
         "text02_langid": _sql_text02(),
         "text03_fingerprint": _sql_text03(),
         "text04_token_counts": _sql_text04(),
+        "text05_truncate": _sql_text05(),
         "dedup01_exact": dedup01_sql,
         "dedup02_ngram_jaccard": _sql_dedup02(),
         "dedup03_minhash_lsh": _sql_dedup02(),  # LSH must reproduce exact
         "dedup04_simhash": _sql_dedup04(),
+        "dedup05_simhash_pairs": _sql_dedup05(),
+        "dedup06_embedding_cosine": _sql_dedup06(),
         "ann01_cosine_topk": _sql_ann01(),
         "ann02_hyperplane_bucket": _sql_ann02(),
         "ann03_lsh_topk": _sql_ann03(),
+        "multimodal01_metadata": _sql_multimodal01(),
         "er01_mentions": _sql_er01(),
         "er02_candidate_pairs": _sql_er02(),
         "er03_scored_pairs": _sql_er03(),

@@ -29,7 +29,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(6)
+            df[c] = df[c].round(6).fillna(-9.999925e12)
         elif str(df[c].dtype) == "bool":
             df[c] = df[c].astype(int)
         elif "datetime" in str(df[c].dtype):
