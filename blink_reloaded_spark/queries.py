@@ -24,7 +24,9 @@ from blink_reloaded_spark.functions import text as tx
 from blink_reloaded_spark.functions.hashing import (
     exact_text_key,
     minhash_band_keys_exploded,
+    minhash_signatures_exploded,
     poly_hash,
+    sig_agreement,
     simhash64,
 )
 from blink_reloaded_spark.functions.similarity import (
@@ -42,7 +44,7 @@ ER_DICT = ["a", "agg", "part", "spark", "sort", "scan"]  # mention dictionary
 ER_MAX_DOC = 80  # er queries run on doc_id < ER_MAX_DOC (bounded pair count)
 ER_THRESHOLD = 0.79  # accepts same-word pairs (1.0) + ('a','agg') (0.8)
 DEDUP_TAU = 0.8  # 5-gram jaccard near-dup threshold (corpus: dups >=0.93)
-DEDUP_BANDS, DEDUP_ROWS = 8, 2  # P(miss j=0.93) = (1-j^2)^8 ~ 8e-8
+DEDUP_BANDS, DEDUP_ROWS = 6, 3  # P(miss j=0.93) = (1-j^3)^6 ~ 6e-5; background pass-rate 6*j^3 ~ 9% at j=0.25
 ANN_K = 5
 ANN_NQUERY = 30
 EMB_DIM = 64  # the driver's embeddings.parquet dimension
@@ -493,23 +495,36 @@ WHERE round(ni / CAST(sa.n + sb.n - ni AS DOUBLE), 6) >= {DEDUP_TAU}
 
 
 def dedup03_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup pairs: band-bucket join generates candidates,
-    exact jaccard verifies — the scale path (candidates are linear-ish in
-    corpus size; the quadratic shingle self-join never happens). Oracle =
-    the exact-jaccard SQL: LSH recall at tau is ~1 by construction
-    (P(miss j>=0.93) = (1-j^2)^8 ~ 8e-8)."""
+    """MinHash-LSH near-dup pairs, three-tier (the 100TB shape):
+      1. band-bucket join -> candidate pairs (never the quadratic shingle
+         self-join; on this vocabulary-dense corpus background jaccard is
+         ~0.25, so band collisions alone admit many pairs);
+      2. signature-agreement estimate filters candidates to ~the true dups
+         (16 positions; P(est<0.5 | j>=0.93) is negligible);
+      3. exact jaccard verifies survivors -> oracle parity with the exact
+         SQL (recall 1 up to the LSH miss prob (1-j^2)^8 ~ 8e-8 at j=0.93).
+    """
     d = T(spark, sf_dir, "documents").select(
         "doc_id", tx.char_shingles(F.col("text"), 5).alias("sh")
-    )
-    sig = minhash_band_keys_exploded(
+    ).localCheckpoint()
+    keys = minhash_band_keys_exploded(
         d, "doc_id", F.col("sh"), DEDUP_BANDS, DEDUP_ROWS
     ).withColumnRenamed("id", "doc_id").withColumnRenamed("block_key", "bk")
     cand = (
-        sig.alias("x")
-        .join(sig.alias("y"), "bk")
+        keys.alias("x")
+        .join(keys.alias("y"), "bk")
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
+    )
+    sigs = minhash_signatures_exploded(
+        d, "doc_id", F.col("sh"), DEDUP_BANDS * DEDUP_ROWS
+    )
+    cand = (
+        cand.join(sigs.select(F.col("id").alias("a"), F.col("sig").alias("siga")), "a")
+        .join(sigs.select(F.col("id").alias("b"), F.col("sig").alias("sigb")), "b")
+        .where(sig_agreement(F.col("siga"), F.col("sigb")) >= 0.5)
+        .select("a", "b")
     )
     e = d.select("doc_id", F.explode("sh").alias("s"))
     sz = d.select("doc_id", F.size("sh").alias("n"))
