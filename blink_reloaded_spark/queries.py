@@ -1042,6 +1042,46 @@ FROM documents
 """
 
 
+
+
+def eval01_recall_curve(spark, sf_dir):
+    """A3 recall@k curve (evaluator.py:92-124; main_dense.py:481-499):
+    cumulative share of 'gold' rows ranked <= r, via groupBy(rank).count +
+    cumulative window (W5) over the rank axis."""
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), "l_linenumber"
+    )
+    gold = (
+        li.withColumn("rank", F.row_number().over(w))
+        .where(F.col("l_linenumber") == 1)
+        .select("l_orderkey", "rank")
+    )
+    total = gold.count()
+    counts = gold.groupBy("rank").agg(F.count("*").alias("n"))
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return counts.select(
+        "rank",
+        "n",
+        F.round(F.sum("n").over(cum) / F.lit(float(total)), 6).alias("cum_recall"),
+    )
+
+
+SQL_EVAL01 = """
+WITH gold AS (
+  SELECT l_orderkey,
+    row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_extendedprice DESC, l_linenumber) AS rank
+  FROM lineitem QUALIFY l_linenumber = 1
+),
+counts AS (SELECT rank, count(*) AS n FROM gold GROUP BY 1)
+SELECT rank, n,
+  round(sum(n) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        / (SELECT CAST(count(*) AS DOUBLE) FROM gold), 6) AS cum_recall
+FROM counts
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1077,6 +1117,7 @@ FROM (SELECT doc_id,
         "q15_macro_micro": q15_macro_micro,
         "q16_gold_rank": q16_gold_rank,
         "q17_join_residual": q17_join_residual,
+        "eval01_recall_curve": eval01_recall_curve,
         "text01_quality": text01_quality,
         "text02_langid": text02_langid,
         "text03_fingerprint": text03_fingerprint,
@@ -1115,6 +1156,7 @@ FROM (SELECT doc_id,
         "q15_macro_micro": SQL_Q15,
         "q16_gold_rank": SQL_Q16,
         "q17_join_residual": SQL_Q17,
+        "eval01_recall_curve": SQL_EVAL01,
         "text01_quality": _sql_text01(),
         "text02_langid": _sql_text02(),
         "text03_fingerprint": _sql_text03(),

@@ -1,0 +1,54 @@
+"""Source formats from the reference's scan inventory (SURVEY.md §2.1):
+
+* S1/S2 JSONL catalogue/mention scans -> `read_jsonl` (+ stable local idx,
+  the reference's `local_idx` counter, `blink/main_dense.py:125-144`)
+* S4 per-world JSON directory -> `read_json_dir_with_world` (world column
+  from the file name via input_file_name, replacing the world_to_id dict,
+  `blink/biencoder/zeshel_utils.py:14-33`)
+* S6 compressed JSONL (bz2/gzip) -> Spark reads compressed text natively
+* S10 JSONL writer -> `write_jsonl`
+* S11 flat sentence files -> `read_sentences`
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def read_jsonl(spark: SparkSession, path: str, with_local_idx: bool = False) -> DataFrame:
+    """JSONL scan; optional dense order-stable local idx keyed on the file
+    order surrogate (sorted by all columns for determinism — the reference
+    relies on file order, which distributed readers must not)."""
+    df = spark.read.json(path)
+    if with_local_idx:
+        w = Window.orderBy(*sorted(df.columns))
+        df = df.withColumn("local_idx", F.row_number().over(w).cast("long") - 1)
+    return df
+
+
+def read_json_dir_with_world(spark: SparkSession, path: str) -> DataFrame:
+    """One JSON(L) file per 'world' (zeshel domain): world = file stem."""
+    df = spark.read.json(f"{path}/*.json")
+    world = F.regexp_extract(F.input_file_name(), r"([^/]+)\.json$", 1)
+    return df.withColumn("world", world)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """S10: dicts-as-json-per-line writer (`blink/utils.py:110-117`)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_sentences(spark: SparkSession, path: str, one_per_line: bool = True) -> DataFrame:
+    """S11 flat-file sentence reader (`blink/utils.py:15-30`); when
+    one_per_line=False, paragraphs are split on sentence punctuation
+    (the segtok stand-in, F8)."""
+    txt = spark.read.text(path).withColumnRenamed("value", "sentence")
+    if one_per_line:
+        return txt.where(F.length(F.trim("sentence")) > 0)
+    return (
+        txt.select(
+            F.explode(F.split("sentence", r"(?<=[.!?])\s+")).alias("sentence")
+        ).where(F.length(F.trim("sentence")) > 0)
+    )

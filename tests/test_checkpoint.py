@@ -28,6 +28,34 @@ def test_stage_skips_after_completion(spark, tmp_path):
     assert ckpt.log[-1].get("resumed") is True
 
 
+def test_partial_pipeline_resume_rebuilds_only_missing(spark, tmp_path):
+    """Kill-after-stage-N semantics: wipe the two downstream checkpoints,
+    rerun, and verify the upstream stages were skipped (resumed) while the
+    wiped ones rebuilt — byte-identical output."""
+    import shutil
+
+    from blink_reloaded_spark import datagen
+    from blink_reloaded_spark.plans.pipeline import LinkagePipeline
+
+    cat = datagen.EntityCatalog.build(n_entities=15)
+    tr, me = datagen.generate_transcripts(
+        spark, cat, n_convs=10, turns_per_conv=4, hot_conv_factor=2
+    )
+    d = str(tmp_path / "ck")
+    p1 = LinkagePipeline(spark, checkpoint_dir=d)
+    c1 = p1.run(tr, cat.entities_df(spark), mentions=me)
+    r1 = sorted(map(tuple, c1.collect()))
+
+    shutil.rmtree(os.path.join(d, "links"))
+    shutil.rmtree(os.path.join(d, "clusters"))
+    p2 = LinkagePipeline(spark, checkpoint_dir=d)
+    c2 = p2.run(tr, cat.entities_df(spark), mentions=me)
+    assert sorted(map(tuple, c2.collect())) == r1
+    # stage wall-times: resumed stages are ~instant, rebuilt ones are not
+    assert p2.metrics["mentions_sec"] < 1.5
+    assert p2.metrics["surfaces_sec"] < 1.5
+
+
 def test_incomplete_checkpoint_recomputes(spark, tmp_path):
     """A killed write (data files but no manifest) must be redone."""
     root = str(tmp_path / "ck2")
