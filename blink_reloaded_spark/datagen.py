@@ -102,8 +102,16 @@ class EntityCatalog:
         entities, aliases = [], []
         alias_id = 0
         seen_surfaces: set[str] = set()
+        seen_heads: set[str] = set()
         for eid in range(n_entities):
+            # unique head words: two orgs sharing a head word make the bare
+            # head-word alias genuinely ambiguous (observed: "vejo" ->
+            # {"vejo systems", "vejo ltd"}), which no surface scorer can
+            # resolve — keep the fixture unambiguous by construction
             name = _pseudo_word(rng, rng.randrange(2, 4))
+            while name in seen_heads:
+                name = _pseudo_word(rng, rng.randrange(2, 4))
+            seen_heads.add(name)
             suffix = rng.choice(_SUFFIXES)
             title = f"{name} {suffix}"
             if title in seen_surfaces:  # regenerate on rare collision

@@ -62,12 +62,16 @@ def _prefix_key(text_col: str) -> F.Column:
 class LinkagePipeline:
     spark: SparkSession
     checkpoint_dir: str | None = None
-    # recall-oriented blocking: single-row bands over 3-char shingles give
-    # per-band hit prob = shingle-jaccard; 12 bands -> recall 1-(1-j)^12
-    # (j=0.4 -> 0.998). The scorer filters the extra candidates.
+    # recall-oriented blocking: single-row bands over 2-char shingles give
+    # per-band hit prob = shingle-jaccard; 12 bands -> recall 1-(1-j)^12.
+    # 2-shingles keep jaccard high under multi-token typos (j("feji inc",
+    # "fejmi imnc") = 0.45 at k=2 vs 0.17 at k=3 -> miss prob 0.08% vs 11%).
+    # SCALE NOTE: with a very large entity catalogue (>=10^6), the k=2 key
+    # space (~1.3k distinct shingles) makes band buckets hot — configure
+    # k=3-4 with rows=2 (key space squared) there; these are ctor params.
     bands: int = 12
     rows: int = 1
-    shingle_k: int = 3
+    shingle_k: int = 2
     threshold: float = DEFAULT_THRESHOLD
     max_block: int = 1000
     # counter metrics per stage (north_rule). collect_metrics=False skips the
