@@ -86,14 +86,25 @@ def match_edges(scored: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> Data
 def link_best(scored: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
     """Per-mention argmax link (the reference's prediction:
     `np.argmax(logits)` at `bert_reranking.py:223-227` / ranked output at
-    `main_dense.py:563-582`): keep the top-1 candidate per mention `a`,
-    accepted only above `threshold` (the serving app's score>0 filter,
-    `blink/main.py:140-141`, generalized). Deterministic tie-break on b."""
-    from pyspark.sql.window import Window
+    `main_dense.py:563-582`): keep the top-1 candidate per `a`, accepted
+    only above `threshold` (the serving app's score>0 filter,
+    `blink/main.py:140-141`, generalized).
 
-    w = Window.partitionBy("a").orderBy(F.desc("score"), "b")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where((F.col("rk") == 1) & (F.col("score") >= threshold))
-        .select("a", "b", "score")
+    Implemented as a two-phase max aggregation (lexicographic struct max:
+    maximize score, tie-break minimal b) rather than a sort window:
+    map-side partial aggregation means a hot mention surface with millions
+    of candidate rows reduces locally on every task before one tiny shuffle
+    — the skew-immunity the north rule wants from salting, by construction.
+    """
+    best = scored.groupBy("a").agg(
+        F.max(
+            F.struct(
+                F.col("score"),
+                (-F.col("b")).alias("negb"),
+                F.col("b").alias("b"),
+            )
+        ).alias("m")
     )
+    return best.select(
+        "a", F.col("m.b").alias("b"), F.col("m.score").alias("score")
+    ).where(F.col("score") >= threshold)

@@ -200,9 +200,13 @@ class LinkagePipeline:
                 F.col("text").alias("b_text"),
                 F.col("vec").alias("b_vec"),
             )
-            scored = score_pairs(
-                cands.join(na, "a").join(nb, "b"), a_vec="a_vec", b_vec="b_vec"
-            )
+            # salted rebalance before the Arrow scorer: the join output
+            # inherits the (possibly skewed) band-key partitioning; pair
+            # rows are independent, so a synthetic-key repartition spreads
+            # a hot block evenly over every core (O7 / north_rule salting)
+            par = self.spark.sparkContext.defaultParallelism
+            enriched = cands.join(na, "a").join(nb, "b").repartition(par)
+            scored = score_pairs(enriched, a_vec="a_vec", b_vec="b_vec")
             best = link_best(scored, self.threshold)
             # carry the surface text so mentions re-attach by text equality
             return best.join(

@@ -48,6 +48,13 @@ def test_f1_above_target(spark, fixture):
     m = pairwise_f1(clusters, _labeled_pairs(me))
     assert m["precision"] == 1.0, m
     assert m["f1"] >= 0.99, m
+    # stretch gate (achieved): perfect F1 + exact partition equality vs the
+    # gold clusters on the standard fixture
+    assert m["f1"] == 1.0, m
+    from blink_reloaded_spark import datagen as dg
+    from blink_reloaded_spark.eval import clusters_equal
+
+    assert clusters_equal(clusters, dg.gold_clusters(me))
     # sanity on stage metrics (north_rule counter metrics)
     assert pipe.metrics["mentions"] == me.count()
     assert pipe.metrics["links"] > 0 and pipe.metrics["clusters"] > 0
