@@ -102,6 +102,33 @@ def rolling_fingerprint(c: Column) -> Column:
     )
 
 
+def budget_context(
+    left: Column, right: Column, mention: Column, max_tokens: int = 32
+) -> Column:
+    """Quota-balanced context window (F3, the reference's distinctive
+    tokenizer windowing: `blink/biencoder/data_process.py:26-69` /
+    `data_process2.py:35-101`): a token budget of `max_tokens` minus the
+    mention is split evenly between left and right context; unused quota on
+    the shorter side is redistributed to the longer side. Returns the
+    windowed text 'left_window <mention> right_window'.
+
+    Pure Column arithmetic: token arrays + slice — no UDF.
+    """
+    lt, rt, mt = tokens(left), tokens(right), tokens(mention)
+    budget = F.greatest(F.lit(max_tokens) - F.size(mt), F.lit(0))
+    half = (budget / 2).cast("int")
+    l_avail, r_avail = F.size(lt), F.size(rt)
+    # extra quota freed by the shorter side (data_process2 left/right_extra)
+    l_take = F.least(l_avail, half + F.greatest(half - r_avail, F.lit(0)))
+    r_take = F.least(r_avail, budget - l_take)
+    l_win = F.slice(lt, F.greatest(l_avail - l_take + 1, F.lit(1)), F.greatest(l_take, F.lit(1)))
+    l_txt = F.when(l_take > 0, F.array_join(l_win, " ")).otherwise(F.lit(""))
+    r_txt = F.when(r_take > 0, F.array_join(F.slice(rt, 1, F.greatest(r_take, F.lit(1))), " ")).otherwise(F.lit(""))
+    return F.trim(
+        F.concat_ws(" ", l_txt, F.concat(F.lit("<"), normalize_text(mention), F.lit(">")), r_txt)
+    )
+
+
 def quality_score_cols(c: Column) -> dict[str, Column]:
     """Document-quality feature columns: lengths, punctuation ratio, stopword
     ratio, mean token length. All exact rational arithmetic over counts."""

@@ -110,6 +110,9 @@ def connected_components(
 def _cc_loop(e: DataFrame, nodes: DataFrame | None, max_iter: int) -> DataFrame:
     prev = _checksum(e)
     for _ in range(max_iter):
+        # localCheckpoint every round: cuts lineage AND materializes, so the
+        # next round never re-executes this one (the checksum alone would
+        # evaluate but not persist)
         e = _small_star(_large_star(e)).localCheckpoint()
         cur = _checksum(e)
         if cur == prev:

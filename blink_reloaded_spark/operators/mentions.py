@@ -82,7 +82,9 @@ def extract_mentions(transcripts: DataFrame, surfaces: list[str]) -> DataFrame:
     # a regex scan over text is CPU-heavy per byte, so spread it over all
     # cores explicitly. At real scale the input has plenty of partitions
     # and this rebalance is what keeps stragglers off hot conversations.
-    par = transcripts.sparkSession.sparkContext.defaultParallelism
+    # 3 tasks per core: straggler smoothing — with one wave of equal tasks
+    # the stage time is max-of-N; finer tasks let fast cores steal work
+    par = transcripts.sparkSession.sparkContext.defaultParallelism * 3
     cols = cols.repartition(par)
     mentions = cols.mapInPandas(gen, schema=MENTION_SCHEMA)
     # stable id from the ordering contract; xxhash64 is collision-safe enough
