@@ -56,6 +56,28 @@ def test_multi_occurrence_and_case(spark):
     assert sorted(r["start_pos"] for r in m) == [0, 9, 20]
 
 
+def test_token_matcher_equals_regex(spark):
+    """The token-hash production matcher must reproduce the regex baseline
+    exactly on the full fixture (same rows, same offsets)."""
+    cat = datagen.EntityCatalog.build(n_entities=40)
+    tr, _ = datagen.generate_transcripts(
+        spark, cat, n_convs=30, turns_per_conv=6, hot_conv_factor=3
+    )
+    surfaces = [a["surface"] for a in cat.aliases]
+    cols = ["conv_id", "turn_idx", "start_pos", "end_pos", "mention"]
+    fast = sorted(map(tuple, extract_mentions(tr, surfaces, impl="token").select(cols).collect()))
+    slow = sorted(map(tuple, extract_mentions(tr, surfaces, impl="regex").select(cols).collect()))
+    assert fast == slow and len(fast) > 0
+
+
+def test_non_token_surface_falls_back(spark):
+    tr = spark.createDataFrame(
+        [("c1", 0, "price is $9.99 today")], "conv_id string, turn_idx int, text string"
+    )
+    m = extract_mentions(tr, ["$9.99", "today"]).collect()  # regex fallback
+    assert sorted(r["mention"] for r in m) == ["$9.99", "today"]
+
+
 def test_longest_match_wins(spark):
     tr = spark.createDataFrame(
         [("c1", 0, "acme corp called")], "conv_id string, turn_idx int, text string"
