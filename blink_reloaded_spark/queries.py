@@ -134,7 +134,7 @@ def q03_topk_per_group(spark, sf_dir):
         .where(F.col("rank") <= 3)
     )
     return top.join(p, top.l_partkey == p.p_partkey).select(
-        "l_orderkey", "rank", "p_name", "l_extendedprice"
+        "l_orderkey", F.col("rank").cast("long").alias("rank"), "p_name", "l_extendedprice"
     )
 
 
@@ -146,7 +146,7 @@ WITH top AS (
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE o_totalprice >= 400000
 )
-SELECT l_orderkey, rank, p_name, l_extendedprice
+SELECT l_orderkey, CAST(rank AS BIGINT) AS rank, p_name, l_extendedprice
 FROM top JOIN part ON l_partkey = p_partkey
 WHERE rank <= 3
 """
@@ -586,7 +586,7 @@ def ann01_cosine_topk(spark, sf_dir):
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= ANN_K)
         .select("qid", "nid", "rank", "cos")
     )
@@ -605,7 +605,7 @@ ranked AS (
     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
   FROM scored
 )
-SELECT qid, nid, rank, cos FROM ranked WHERE rank <= {ANN_K}
+SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos FROM ranked WHERE rank <= {ANN_K}
 """
 
 
@@ -646,7 +646,7 @@ def ann03_lsh_topk(spark, sf_dir):
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 3)
         .select("qid", "nid", "rank", "cos")
     )
@@ -666,7 +666,7 @@ ranked AS (
     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
   FROM scored
 )
-SELECT qid, nid, rank, cos FROM ranked WHERE rank <= 3
+SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos FROM ranked WHERE rank <= 3
 """
 
 
@@ -719,7 +719,7 @@ def er01_mentions(spark, sf_dir):
         "conv_id",
         "turn_idx",
         F.col("word").alias("mention"),
-        F.col("pos").alias("start_pos"),
+        F.col("pos").cast("long").alias("start_pos"),
     )
 
 
@@ -729,7 +729,7 @@ WITH tr AS ({SQL_ER_TRANSCRIPTS}),
 m AS (SELECT tr.*, dict.wid, dict.word, strpos(tr.text, dict.word) AS pos
       FROM tr CROSS JOIN {SQL_ER_DICT})
 SELECT doc_id*10 + wid AS mention_id, conv_id, turn_idx,
-       word AS mention, pos AS start_pos
+       word AS mention, CAST(pos AS BIGINT) AS start_pos
 FROM m WHERE pos > 0
 """
 
@@ -1061,7 +1061,7 @@ def eval01_recall_curve(spark, sf_dir):
     counts = gold.groupBy("rank").agg(F.count("*").alias("n"))
     cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return counts.select(
-        "rank",
+        F.col("rank").cast("long").alias("rank"),
         "n",
         F.round(F.sum("n").over(cum) / F.lit(float(total)), 6).alias("cum_recall"),
     )
@@ -1075,7 +1075,7 @@ WITH gold AS (
   FROM lineitem QUALIFY l_linenumber = 1
 ),
 counts AS (SELECT rank, count(*) AS n FROM gold GROUP BY 1)
-SELECT rank, n,
+SELECT CAST(rank AS BIGINT) AS rank, n,
   round(sum(n) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         / (SELECT CAST(count(*) AS DOUBLE) FROM gold), 6) AS cum_recall
 FROM counts
