@@ -670,6 +670,51 @@ SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos FROM ranked WHERE rank <= 3
 """
 
 
+
+
+def ann04_block_matmul(spark, sf_dir):
+    """Within-block batched matmul top-k via applyInPandas — the reference's
+    exact within-block scoring (`main_dense.py:252-257` full matmul + topk
+    against the candidate pool; north_star: "within-block batched matmul in
+    applyInPandas"). Groups by hyperplane bucket; each group computes an
+    n_q x n_c cosine matrix in numpy and emits top-3 rows. Must produce
+    exactly ann03's output (same bucketing, exact within-bucket scoring) —
+    the oracle is ann03's SQL."""
+    import numpy as np
+    import pandas as pd
+
+    v = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        emb.hyperplane_bucket(F.col("embedding"), 8, EMB_DIM).alias("bucket"),
+    )
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_list()).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        sims = (m @ m.T) / np.maximum(np.outer(norms, norms), 1e-12)
+        np.fill_diagonal(sims, -np.inf)
+        sims = np.round(sims, 6)
+        out = {"qid": [], "nid": [], "rank": [], "cos": []}
+        k = min(3, len(ids) - 1)
+        if k <= 0:
+            return pd.DataFrame(out)
+        for i in range(len(ids)):
+            # sort by (-cos, nid) for the deterministic tie-break
+            order = np.lexsort((ids, -sims[i]))[:k]
+            for r, j in enumerate(order, start=1):
+                out["qid"].append(ids[i])
+                out["nid"].append(ids[j])
+                out["rank"].append(r)
+                out["cos"].append(sims[i][j])
+        return pd.DataFrame(out)
+
+    return v.groupBy("bucket").applyInPandas(
+        topk, schema="qid long, nid long, rank long, cos double"
+    )
+
+
 # --------------------------------------------------------------------------
 # entity-resolution pipeline queries (SQL-parity variants over transcripts
 # derived deterministically from `documents` — same derivation both dialects)
@@ -1132,6 +1177,7 @@ FROM (SELECT doc_id,
         "ann01_cosine_topk": ann01_cosine_topk,
         "ann02_hyperplane_bucket": ann02_hyperplane_bucket,
         "ann03_lsh_topk": ann03_lsh_topk,
+        "ann04_block_matmul": ann04_block_matmul,
         "multimodal01_metadata": multimodal01_metadata,
         "er01_mentions": er01_mentions,
         "er02_candidate_pairs": er02_candidate_pairs,
@@ -1171,6 +1217,7 @@ FROM (SELECT doc_id,
         "ann01_cosine_topk": _sql_ann01(),
         "ann02_hyperplane_bucket": _sql_ann02(),
         "ann03_lsh_topk": _sql_ann03(),
+        "ann04_block_matmul": _sql_ann03(),  # must equal the JVM-side ann03
         "multimodal01_metadata": _sql_multimodal01(),
         "er01_mentions": _sql_er01(),
         "er02_candidate_pairs": _sql_er02(),
