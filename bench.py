@@ -69,15 +69,15 @@ def main() -> None:
     from blink_reloaded_spark.plans.pipeline import LinkagePipeline
 
     cat = datagen.EntityCatalog.build(n_entities=200)
-    tr, me = datagen.generate_transcripts(
-        spark, cat, n_convs=19900, turns_per_conv=25, hot_conv_factor=100
+    tr, _ = datagen.generate_transcripts(
+        spark, cat, n_convs=79900, turns_per_conv=25, hot_conv_factor=100
     )
-    tr = tr.localCheckpoint()  # materialize input so we time the pipeline
-    me = me.select("mention_id", "mention", "conv_id", "turn_idx").localCheckpoint()
+    tr = tr.select("conv_id", "turn_idx", "text").localCheckpoint()
     n_turns = tr.count()
+    surfaces = [a["surface"] for a in cat.aliases]
     t0 = time.time()
     clusters = LinkagePipeline(spark, collect_metrics=False).run(
-        tr, cat.entities_df(spark), mentions=me
+        tr, cat.entities_df(spark), surfaces=surfaces
     )
     _noop(clusters)
     times["pipeline_linkage"] = round(time.time() - t0, 3)
