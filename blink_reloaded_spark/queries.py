@@ -939,13 +939,12 @@ def q17_join_residual(spark, sf_dir):
     non-equi condition rides on the equi shuffle, not a range join."""
     li = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders")
+    # INTERVAL arithmetic, not unix_timestamp: epoch conversion depends on
+    # the session timezone, which the driver's session may not pin to UTC
     j = li.join(
         o,
         (li.l_orderkey == o.o_orderkey)
-        & (
-            F.unix_timestamp("l_shipdate")
-            > F.unix_timestamp("o_orderdate") + F.lit(86400 * 60)
-        ),
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
     )
     return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_late"),
@@ -958,7 +957,7 @@ SELECT o_orderpriority, count(*) AS n_late,
   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_price
 FROM lineitem JOIN orders
   ON l_orderkey = o_orderkey
- AND epoch(l_shipdate) > epoch(o_orderdate) + 86400*60
+ AND l_shipdate > o_orderdate + INTERVAL 60 DAY
 GROUP BY 1
 """
 
