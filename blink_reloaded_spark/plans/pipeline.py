@@ -1,11 +1,12 @@
 """The flagship end-to-end linkage pipeline (SURVEY.md §7.1), each stage an
 idempotent checkpointed job:
 
-  1. mentions    — mention extraction from transcripts (U1)
-  2. nodes       — hashed embeddings for mentions + entity anchors (U2/U3)
-  3. candidates  — LSH blocking keys; mention⋈entity equi-join (J7/J8)
-  4. links       — Arrow-batched pair scorer -> per-mention argmax link (U4/W4)
-  5. clusters    — large-star/small-star connected components over link edges
+  1. mentions    — token-hash dictionary extraction from transcripts (U1)
+  2. surfaces    — dedup to DISTINCT surfaces + hashed trigram encoding (U2/U3)
+  3. candidates  — LSH blocking keys; surface⋈entity equi-join (J7/J8)
+  4. links       — Arrow-batched pair scorer -> per-surface argmax link (U4/W4)
+  5. clusters    — large-star/small-star connected components on the surface
+                   graph; linear expansion back to mentions
 
 Mirrors the reference's DAG (`examples/zeshel/README.md:11-38`, SURVEY.md
 §3.3): retrieval bounds the candidate set (O2), the cross-encoder scores
