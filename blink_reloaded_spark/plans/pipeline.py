@@ -36,8 +36,10 @@ from blink_reloaded_spark.functions.embedding import hashed_embedding_udf
 from blink_reloaded_spark.functions.text import tokens
 from blink_reloaded_spark.operators.blocking import (
     blocking_keys,
+    candidate_pairs,
     mention_entity_candidates,
 )
+from blink_reloaded_spark.operators.scoring import match_edges
 from blink_reloaded_spark.operators.clustering import connected_components
 from blink_reloaded_spark.operators.mentions import extract_mentions
 from blink_reloaded_spark.operators.scoring import (
@@ -262,3 +264,66 @@ class LinkagePipeline:
         if self.collect_metrics:
             self.metrics["clusters"] = clusters.select("cluster_id").distinct().count()
         return clusters.select("node", F.col("cluster_id").alias("component"))
+
+    def run_kb_free(
+        self,
+        transcripts: DataFrame,
+        surfaces: list[str] | None = None,
+        mentions: DataFrame | None = None,
+        threshold: float | None = None,
+    ) -> DataFrame:
+        """KB-free matching (SURVEY §7.0: the clustering stage generalizes
+        beyond KB linking): no entity catalogue — candidate pairs come from
+        the skew-bounded LSH SELF-join over distinct surfaces, accepted
+        surface-surface edges transitively cluster, and mentions expand
+        linearly. Returns (node=mention_id, component=cluster id = min
+        mention id); unmatched surfaces yield per-mention singletons only
+        when their surface never links (same NIL semantics as `run`)...
+        except that here identical surfaces DO co-cluster (there is no gold
+        KB to declare them NIL) — the exact-dedup semantics of KB-free ER.
+        """
+        thr = self.threshold if threshold is None else threshold
+
+        if mentions is None:
+            assert surfaces is not None, "need surfaces or mentions"
+            mentions = extract_mentions(transcripts, surfaces)
+        m = mentions.localCheckpoint() if self.checkpoint_dir is None else mentions
+        m_slim = m.select("mention_id", "mention")
+
+        surf = (
+            m_slim.select(F.col("mention").alias("text"))
+            .distinct()
+            .select(F.xxhash64(F.lit("surf"), "text").alias("id"), "text")
+            .withColumn("vec", hashed_embedding_udf(F.col("text")))
+            .withColumn("prefix_key", _prefix_key("text"))
+            .localCheckpoint()
+        )
+        keys = blocking_keys(
+            surf,
+            id_col="id",
+            text_col="text",
+            bands=self.bands,
+            rows=self.rows,
+            shingle_k=self.shingle_k,
+            extra_key_cols=["prefix_key"],
+        )
+        pairs = candidate_pairs(keys, max_block=self.max_block)
+        na = surf.select(F.col("id").alias("a"), F.col("text").alias("a_text"), F.col("vec").alias("a_vec"))
+        nb = surf.select(F.col("id").alias("b"), F.col("text").alias("b_text"), F.col("vec").alias("b_vec"))
+        par = self.spark.sparkContext.defaultParallelism
+        scored = score_pairs(
+            pairs.join(na, "a").join(nb, "b").repartition(par),
+            a_vec="a_vec",
+            b_vec="b_vec",
+        )
+        edges = match_edges(scored, thr).localCheckpoint()
+        comps = connected_components(edges, nodes=surf.select("id"))
+        surf_comp = comps.join(
+            surf.select(F.col("id").alias("node"), F.col("text").alias("mention")),
+            "node",
+        ).select("mention", "component")
+        ml = m_slim.join(F.broadcast(surf_comp), "mention")
+        cmin = ml.groupBy("component").agg(F.min("mention_id").alias("cluster_id"))
+        return ml.join(F.broadcast(cmin), "component").select(
+            F.col("mention_id").alias("node"), F.col("cluster_id").alias("component")
+        )
