@@ -12,11 +12,12 @@ times at 10^12 scale would make one block quadratic) are bounded by
 `max_block`: oversized blocks switch from full pairing to **sorted-
 neighborhood windowed pairing** (each member pairs with its `window` nearest
 neighbors in signature order). This is the same cost bound the reference gets
-from top-k retrieval (O2): candidate count is O(n·w), never O(n²). The
-within-block sort also acts as an implicit salt: the shuffle key for pairing
-is (block_key) but AQE skew-join splitting handles residual imbalance; an
-explicit salt column is applied to the pair table before scoring so the
-scorer's shuffle is balanced even when one block dominates.
+from top-k retrieval (O2): candidate count is O(n·w), never O(n²), and the
+oversized block is SALTED into ~max_block-sized sub-blocks (salt = hash(id)
+mod ceil(size/max_block)) so no single task owns a hot key — the north
+rule's salted repartitioning. AQE skew-join splitting handles residual
+imbalance on the equi-join paths; the scorer input is additionally
+rebalanced round-robin in the pipeline.
 """
 
 from __future__ import annotations
@@ -71,11 +72,20 @@ def candidate_pairs(
     r = small.select(F.col("block_key"), F.col("id").alias("b"))
     full_pairs = l.join(r, "block_key").where(F.col("a") < F.col("b"))
 
-    big = sized.where(F.col("bsize") > max_block).drop("bsize")
-    w = Window.partitionBy("block_key").orderBy("id")
+    # SALTED REPARTITIONING (north_rule): a hot block would otherwise be a
+    # single window task — salt it into ~max_block-sized sub-blocks
+    # (salt = hash(id) mod ceil(bsize/max_block)) and run the sorted-
+    # neighborhood pairing within (block_key, salt). Each sub-block is one
+    # bounded task; the cost is the loss of cross-salt neighbor pairs,
+    # the same recall-for-boundedness trade the reference makes with top-k
+    # retrieval (O2).
+    big = sized.where(F.col("bsize") > max_block)
+    n_salt = F.ceil(F.col("bsize") / F.lit(max_block)).cast("long")
+    big = big.withColumn("salt", F.pmod(F.xxhash64("id"), n_salt)).drop("bsize")
+    w = Window.partitionBy("block_key", "salt").orderBy("id")
     neighbor_cols = [F.lead("id", i).over(w).alias(f"n{i}") for i in range(1, window + 1)]
     windowed = (
-        big.select("block_key", "id", *neighbor_cols)
+        big.select("block_key", "salt", "id", *neighbor_cols)
         .select(
             "block_key",
             F.col("id").alias("a"),
@@ -108,9 +118,3 @@ def mention_entity_candidates(
     m = mention_keys.select(F.col("id").alias("a"), "block_key")
     e = entity_keys.select(F.col("id").alias("b"), "block_key")
     return m.join(e, "block_key").select("a", "b").distinct()
-
-
-def salted(df: DataFrame, key_col: str, buckets: int = 32) -> DataFrame:
-    """Append a salt column for hot-key repartitioning (O7): downstream
-    repartition on (key, salt) spreads a hot key over `buckets` tasks."""
-    return df.withColumn("salt", F.pmod(F.xxhash64(*df.columns), F.lit(buckets)))
