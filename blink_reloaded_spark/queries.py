@@ -34,6 +34,7 @@ from blink_reloaded_spark.functions.similarity import (
     levenshtein_sim,
 )
 from blink_reloaded_spark.operators.clustering import connected_components
+from blink_reloaded_spark.operators.ids import stable_row_ids
 from blink_reloaded_spark import oracle as osql
 
 # --------------------------------------------------------------------------
@@ -262,12 +263,15 @@ FROM events
 
 
 def q09_stable_ids(spark, sf_dir):
-    """W6 stable positional ids (local_idx assignment, main_dense.py:125-144)."""
+    """W6 stable positional ids (local_idx assignment, main_dense.py:125-144).
+
+    Two-phase assignment (operators/ids.py): range partition + per-partition
+    row_number + broadcast cumulative offsets — identical output to the
+    global-sort row_number with no Exchange SinglePartition in the plan
+    (asserted in tests/test_plans.py)."""
     e = T(spark, sf_dir, "events")
-    w = Window.orderBy("user_id", "ts", "event_id")
-    return e.select(
-        "event_id", (F.row_number().over(w) - 1).cast("long").alias("rid")
-    )
+    ids = stable_row_ids(e, ["user_id", "ts", "event_id"], id_name="rid")
+    return ids.select("event_id", "rid")
 
 
 SQL_Q09 = """
@@ -321,7 +325,7 @@ def q12_regex_extract(spark, sf_dir):
 
 SQL_Q12 = """
 SELECT event_type,
-  sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+  CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
   count(*) AS n
 FROM events GROUP BY 1
 """
@@ -1101,13 +1105,15 @@ def eval01_recall_curve(spark, sf_dir):
         .where(F.col("l_linenumber") == 1)
         .select("l_orderkey", "rank")
     )
-    total = gold.count()
+    # total folds into the plan as a broadcast 1-row agg (no driver-side
+    # count() that would re-execute the ranking window as a separate job)
+    total = gold.agg(F.count("*").cast("double").alias("_tot"))
     counts = gold.groupBy("rank").agg(F.count("*").alias("n"))
     cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return counts.select(
+    return counts.crossJoin(F.broadcast(total)).select(
         F.col("rank").cast("long").alias("rank"),
         "n",
-        F.round(F.sum("n").over(cum) / F.lit(float(total)), 6).alias("cum_recall"),
+        F.round(F.sum("n").over(cum) / F.col("_tot"), 6).alias("cum_recall"),
     )
 
 

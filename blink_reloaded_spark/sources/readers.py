@@ -14,17 +14,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from blink_reloaded_spark.operators.ids import stable_row_ids
 
 
 def read_jsonl(spark: SparkSession, path: str, with_local_idx: bool = False) -> DataFrame:
-    """JSONL scan; optional dense order-stable local idx keyed on the file
-    order surrogate (sorted by all columns for determinism — the reference
-    relies on file order, which distributed readers must not)."""
+    """JSONL scan; optional dense order-stable local idx keyed on the sorted
+    column tuple for determinism — the reference relies on file order, which
+    distributed readers must not. The idx is assigned by the two-phase
+    range-partitioned scheme (operators/ids.py), never a global-sort
+    row_number (Exchange SinglePartition is a dead stop at scale)."""
     df = spark.read.json(path)
     if with_local_idx:
-        w = Window.orderBy(*sorted(df.columns))
-        df = df.withColumn("local_idx", F.row_number().over(w).cast("long") - 1)
+        df = stable_row_ids(df, sorted(df.columns), id_name="local_idx")
     return df
 
 

@@ -74,9 +74,16 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error {e}")
             continue
         a, b = normalize(sdf), normalize(ddf)
+        # dtype-strict gate: the driver's value hash is type-sensitive (the
+        # round-1 q12 HUGEINT-vs-BIGINT miss passed the value compare but
+        # failed the driver), so raw dtypes must match BEFORE normalization
+        raw_sd = [str(sdf[c].dtype) for c in sorted(sdf.columns)]
+        raw_dd = [str(ddf[c].dtype) for c in sorted(ddf.columns)]
         status = "ok"
         if list(a.columns) != list(b.columns):
             status = f"SCHEMA mismatch: {list(a.columns)} vs {list(b.columns)}"
+        elif raw_sd != raw_dd:
+            status = f"DTYPE mismatch: spark={raw_sd} vs duck={raw_dd}"
         elif len(a) != len(b):
             status = f"ROWS mismatch: {len(a)} vs {len(b)}"
         else:

@@ -38,6 +38,13 @@ def test_anti_semi_join_strategies(spark):
     assert "LeftSemi" in _plan(spark, "q05_semi_join")
 
 
+def test_stable_ids_no_single_partition_exchange(spark):
+    # W6 at scale: the two-phase id assignment must never funnel the data
+    # through one task (the round-1 global-sort row_number did)
+    plan = _plan(spark, "q09_stable_ids")
+    assert "SinglePartition" not in plan
+
+
 def test_wholestage_codegen_in_text_kernels(spark):
     # the portable hash kernels must stay JVM-side (no Python eval nodes)
     for name in ("text03_fingerprint", "dedup04_simhash", "multimodal01_metadata"):
