@@ -113,6 +113,62 @@ def simhash64(toks: Column, nbits: int = 32) -> Column:
     return out
 
 
+def id_shingle_hashes(df, id_col: str, shingles: Column):
+    """(id, h): one row per (id, shingle) with the base hash computed ONCE
+    per DISTINCT shingle and joined back.
+
+    The interpreted per-char `poly_hash` aggregate dominates MinHash cost;
+    on real corpora the shingle vocabulary is orders of magnitude smaller
+    than the (doc, shingle) row count (Heaps' law), so hashing the distinct
+    vocabulary and equi-joining it back trades ~Nx redundant per-char
+    aggregates for one shuffle of skinny rows — AQE broadcasts the hashed
+    vocabulary when it is small. Same values as hashing in place (the join
+    key IS the shingle), pinned by tests/test_functions.py.
+    """
+    e = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
+    dist = e.select("s").distinct().select("s", poly_hash(F.col("s")).alias("h"))
+    return e.join(dist, "s").select("id", "h")
+
+
+def minhash_sig_table(df, id_col: str, shingles: Column, num_hashes: int):
+    """Wide MinHash signature table: (id, mh0..mh{n-1}) via explode ->
+    distinct-shingle hash join -> groupBy(id) with map-side partial mins.
+    All expressions stay flat (no nested array lambdas -> codegen holds);
+    the one data shuffle is the groupBy(id). Null-free: empty-shingle ids
+    never appear after explode; positions coalesce to the P sentinel."""
+    h = id_shingle_hashes(df, id_col, shingles)
+    aggs = [
+        F.coalesce(F.min(perm_hash(F.col("h"), i)), F.lit(P)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return h.groupBy("id").agg(*aggs)
+
+
+def band_keys_from_sig_table(sig, bands: int, rows: int):
+    """(id, block_key) exploded band keys from a minhash_sig_table frame —
+    share one materialized sig table between band keys and signatures
+    instead of recomputing the shingle pass per consumer."""
+    keys = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            F.concat_ws(
+                "_",
+                *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)],
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("id", F.explode(F.array(*keys)).alias("block_key"))
+
+
+def sig_array_from_sig_table(sig, num_hashes: int):
+    """(id, sig: array<long>) from a minhash_sig_table frame."""
+    return sig.select(
+        "id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
 def minhash_band_keys_exploded(
     df,
     id_col: str,
@@ -121,53 +177,18 @@ def minhash_band_keys_exploded(
     rows: int,
 ):
     """Scale-path MinHash-LSH keys: (id, block_key), one row per band.
-
-    Shape: explode shingles -> one flat poly_hash per (id, shingle) row ->
-    groupBy(id) with bands*rows min-aggregates -> band-key strings -> explode.
-    All expressions stay flat (no nested array lambdas), so whole-stage
-    codegen holds; the single shuffle is the groupBy(id), with map-side
-    partial mins. Equivalent by construction to
-    band_keys(minhash_signature_cols(...)) — pinned by a test.
-    """
-    exploded = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
-    h = exploded.select("id", poly_hash(F.col("s")).alias("h"))
-    aggs = [
-        F.min(perm_hash(F.col("h"), i)).alias(f"mh{i}") for i in range(bands * rows)
-    ]
-    sig = h.groupBy("id").agg(*aggs)
-    # empty-shingle ids never appear after explode; callers with possibly
-    # empty shingle sets should union them back with sentinel keys if needed
-    keys = [
-        F.concat_ws(
-            "|",
-            F.lit(str(b)),
-            F.concat_ws(
-                "_",
-                *[
-                    F.coalesce(F.col(f"mh{b * rows + r}"), F.lit(P)).cast("string")
-                    for r in range(rows)
-                ],
-            ),
-        )
-        for b in range(bands)
-    ]
-    return sig.select("id", F.explode(F.array(*keys)).alias("block_key"))
+    Equivalent by construction to band_keys(minhash_signature_cols(...)) —
+    pinned by a test."""
+    sig = minhash_sig_table(df, id_col, shingles, bands * rows)
+    return band_keys_from_sig_table(sig, bands, rows)
 
 
 def minhash_signatures_exploded(df, id_col: str, shingles: Column, num_hashes: int):
-    """Full MinHash signature per id via explode->groupBy-min (flat codegen,
-    one shuffle): returns (id, sig: array<long>). Companion of
-    `minhash_band_keys_exploded`; same arithmetic as
+    """Full MinHash signature per id: returns (id, sig: array<long>).
+    Companion of `minhash_band_keys_exploded`; same arithmetic as
     `minhash_signature_cols` (pinned by test)."""
-    exploded = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
-    h = exploded.select("id", poly_hash(F.col("s")).alias("h"))
-    aggs = [
-        F.coalesce(F.min(perm_hash(F.col("h"), i)), F.lit(P)).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    sig = h.groupBy("id").agg(*aggs)
-    return sig.select(
-        "id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    return sig_array_from_sig_table(
+        minhash_sig_table(df, id_col, shingles, num_hashes), num_hashes
     )
 
 

@@ -47,13 +47,21 @@ def tokens(c: Column) -> Column:
     return F.filter(F.split(normalize_text(c), "[^a-z0-9]+"), lambda t: t != F.lit(""))
 
 
-def char_shingles(c: Column, k: int = 5, distinct: bool = True) -> Column:
+def char_shingles(
+    c: Column, k: int = 5, distinct: bool = True, normalize: bool = True
+) -> Column:
     """k-char shingles of the normalized string (whole string if shorter).
 
     Built with sequence+transform so it stays in codegen. DuckDB mirror uses
     list_transform(generate_series(...)..., i -> substr(s, i, k)).
+
+    PERF: expressions inside a transform() lambda are evaluated PER ELEMENT —
+    with normalize=True the regexp_replace in normalize_text runs once per
+    shingle, i.e. O(|text|) regex passes per row. Hot paths should project
+    the normalized text once and call with normalize=False (normalize_text
+    is idempotent, so the values are identical either way).
     """
-    s = normalize_text(c)
+    s = normalize_text(c) if normalize else c
     n = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
     sh = F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(s, i, F.lit(k)))
     return F.array_distinct(sh) if distinct else sh

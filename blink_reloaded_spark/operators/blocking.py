@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from blink_reloaded_spark.functions.hashing import minhash_band_keys_exploded
-from blink_reloaded_spark.functions.text import char_shingles
+from blink_reloaded_spark.functions.text import char_shingles, normalize_text
 
 
 def blocking_keys(
@@ -41,8 +41,14 @@ def blocking_keys(
 ) -> DataFrame:
     """Emit (id, block_key) — one row per LSH band key (plus any extra keys
     such as hyperplane buckets or prefix keys passed as columns)."""
+    # normalize once per row, not per shingle inside the transform lambda
+    norm = df.withColumn("__bk_nt", normalize_text(F.col(text_col)))
     keyed = minhash_band_keys_exploded(
-        df, id_col, char_shingles(F.col(text_col), k=shingle_k), bands, rows
+        norm,
+        id_col,
+        char_shingles(F.col("__bk_nt"), k=shingle_k, normalize=False),
+        bands,
+        rows,
     )
     if extra_key_cols:
         extra = df.select(

@@ -22,11 +22,12 @@ from pyspark.sql.window import Window
 from blink_reloaded_spark.functions import embedding as emb
 from blink_reloaded_spark.functions import text as tx
 from blink_reloaded_spark.functions.hashing import (
+    band_keys_from_sig_table,
     exact_text_key,
-    minhash_band_keys_exploded,
-    minhash_signatures_exploded,
+    minhash_sig_table,
     poly_hash,
     sig_agreement,
+    sig_array_from_sig_table,
     simhash64,
 )
 from blink_reloaded_spark.functions.similarity import (
@@ -461,7 +462,9 @@ def dedup02_ngram_jaccard(spark, sf_dir):
     """Exact 5-gram jaccard near-dup pairs (the ground truth the LSH path
     must reproduce)."""
     d = T(spark, sf_dir, "documents").select(
-        "doc_id", tx.char_shingles(F.col("text"), 5).alias("sh")
+        "doc_id", tx.normalize_text(F.col("text")).alias("nt")
+    ).select(
+        "doc_id", tx.char_shingles(F.col("nt"), 5, normalize=False).alias("sh")
     )
     e = d.select("doc_id", F.explode("sh").alias("s"))
     sz = d.select("doc_id", F.size("sh").alias("n"))
@@ -508,11 +511,31 @@ def dedup03_minhash_lsh(spark, sf_dir):
       3. exact jaccard verifies survivors -> oracle parity with the exact
          SQL (recall 1 up to the LSH miss prob (1-j^2)^8 ~ 8e-8 at j=0.93).
     """
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", tx.char_shingles(F.col("text"), 5).alias("sh")
+    # own the parallelism BEFORE the shingle transform: a small parquet scan
+    # is 1 split, and the interpreted char_shingles pass is the heaviest
+    # map-side work in the query — repartition the raw text first so it runs
+    # on every core, not the scan's one task
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par)
+        # normalize ONCE per row; inside the shingle lambda it would run per
+        # shingle (see char_shingles docstring)
+        .select("doc_id", tx.normalize_text(F.col("text")).alias("nt"))
+        .select(
+            "doc_id",
+            tx.char_shingles(F.col("nt"), 5, normalize=False).alias("sh"),
+        )
+        .localCheckpoint()
+    )
+    # ONE signature table feeds both band keys and agreement signatures
+    # (round 1 recomputed the full shingle-hash pass per consumer)
+    sig_t = minhash_sig_table(
+        d, "doc_id", F.col("sh"), DEDUP_BANDS * DEDUP_ROWS
     ).localCheckpoint()
-    keys = minhash_band_keys_exploded(
-        d, "doc_id", F.col("sh"), DEDUP_BANDS, DEDUP_ROWS
+    keys = band_keys_from_sig_table(
+        sig_t, DEDUP_BANDS, DEDUP_ROWS
     ).withColumnRenamed("id", "doc_id").withColumnRenamed("block_key", "bk")
     cand = (
         keys.alias("x")
@@ -521,9 +544,7 @@ def dedup03_minhash_lsh(spark, sf_dir):
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    sigs = minhash_signatures_exploded(
-        d, "doc_id", F.col("sh"), DEDUP_BANDS * DEDUP_ROWS
-    )
+    sigs = sig_array_from_sig_table(sig_t, DEDUP_BANDS * DEDUP_ROWS)
     cand = (
         cand.join(sigs.select(F.col("id").alias("a"), F.col("sig").alias("siga")), "a")
         .join(sigs.select(F.col("id").alias("b"), F.col("sig").alias("sigb")), "b")
