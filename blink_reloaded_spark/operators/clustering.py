@@ -70,6 +70,28 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def star_components(edges: DataFrame, leaf: str = "src", hub: str = "dst") -> DataFrame:
+    """Connected components of a graph KNOWN to be a union of stars: every
+    `leaf` node has exactly one edge, to its `hub`. Then components are
+    exactly the hub-groups, and the generic log-round CC loop collapses to
+    ONE aggregation + one join — no driver-side iterations at all.
+
+    This is the KB-linking case (pipeline.run): `link_best` emits at most one
+    argmax entity per surface, so the surface->entity edge set is a star
+    forest by construction. The precondition (one edge per leaf) is the
+    caller's invariant; component ids are canonicalized to the component
+    minimum, same as connected_components.
+    """
+    cmin = edges.groupBy(hub).agg(F.min(leaf).alias("_mn")).select(
+        hub, F.least(F.col("_mn"), F.col(hub)).alias("component")
+    )
+    leaves = edges.join(cmin, hub).select(
+        F.col(leaf).alias("node"), "component"
+    )
+    hubs = cmin.select(F.col(hub).alias("node"), "component")
+    return leaves.union(hubs)
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,

@@ -40,7 +40,10 @@ from blink_reloaded_spark.operators.blocking import (
     mention_entity_candidates,
 )
 from blink_reloaded_spark.operators.scoring import match_edges
-from blink_reloaded_spark.operators.clustering import connected_components
+from blink_reloaded_spark.operators.clustering import (
+    connected_components,
+    star_components,
+)
 from blink_reloaded_spark.operators.mentions import extract_mentions
 from blink_reloaded_spark.operators.scoring import (
     DEFAULT_THRESHOLD,
@@ -104,15 +107,20 @@ class LinkagePipeline:
 
         import time as _time
 
-        def stage(name: str, build, **kw) -> DataFrame:
+        def stage(name: str, build, materialize: bool = True, **kw) -> DataFrame:
             t0 = _time.time()
             if ckpt:
                 out = ckpt.stage(name, build, **kw)
             else:
                 # no checkpoint store: still materialize each stage once —
                 # downstream actions (stage metrics, CC iterations) must not
-                # re-execute the upstream DAG (the scorer in particular)
-                out = build().localCheckpoint()
+                # re-execute the upstream DAG (the scorer in particular).
+                # materialize=False for a stage nothing re-consumes (the
+                # final output when metrics are off): the caller's single
+                # action would otherwise pay a full extra write+read.
+                out = build()
+                if materialize:
+                    out = out.localCheckpoint()
             self.metrics[f"{name}_sec"] = round(_time.time() - t0, 2)
             return out
 
@@ -232,8 +240,11 @@ class LinkagePipeline:
             edges = links.select(F.col("a").alias("src"), F.col("b").alias("dst"))
             # nodes=None: only LINKED surfaces get components — mentions of
             # unlinked surfaces must stay singletons (FIXTURES F5: NIL
-            # mentions are singletons, the reference's no-prediction case)
-            comps = connected_components(edges)
+            # mentions are singletons, the reference's no-prediction case).
+            # The graph is a star forest by construction (link_best emits at
+            # most ONE entity per surface), so components collapse to one
+            # aggregation — no log-round CC loop (star_components docstring)
+            comps = star_components(edges)
             # map components back through MENTION surfaces only: an exact
             # alias equals the entity title, so joining through all
             # surfaces_t rows would duplicate those mentions
@@ -243,12 +254,16 @@ class LinkagePipeline:
                 ),
                 "node",
             ).select("mention", "component")
-            ml = m_slim.join(F.broadcast(surf_comp), "mention", "left")
+            # no explicit broadcast hints: surf_comp/cmin scale with distinct
+            # LINKED surfaces — small here, but unbounded at 10^12 turns; an
+            # explicit hint would bypass the autoBroadcast size threshold and
+            # OOM the driver where AQE would correctly pick a shuffle join
+            ml = m_slim.join(surf_comp, "mention", "left")
             linked = ml.where(F.col("component").isNotNull())
             cmin = linked.groupBy("component").agg(
                 F.min("mention_id").alias("cluster_id")
             )
-            linked_out = linked.join(F.broadcast(cmin), "component").select(
+            linked_out = linked.join(cmin, "component").select(
                 F.col("mention_id").alias("node"), "cluster_id"
             )
             # NB: entity-anchor components never leak in: component ids are
@@ -260,7 +275,12 @@ class LinkagePipeline:
             )
             return linked_out.unionByName(single_out)
 
-        clusters = stage("clusters", build_clusters, inputs=["links", "mentions"])
+        clusters = stage(
+            "clusters",
+            build_clusters,
+            materialize=self.collect_metrics,
+            inputs=["links", "mentions"],
+        )
         if self.collect_metrics:
             self.metrics["clusters"] = clusters.select("cluster_id").distinct().count()
         return clusters.select("node", F.col("cluster_id").alias("component"))
@@ -322,8 +342,10 @@ class LinkagePipeline:
             surf.select(F.col("id").alias("node"), F.col("text").alias("mention")),
             "node",
         ).select("mention", "component")
-        ml = m_slim.join(F.broadcast(surf_comp), "mention")
+        # AQE decides the join strategy (see build_clusters note: explicit
+        # broadcast hints on unbounded-cardinality sides are an OOM risk)
+        ml = m_slim.join(surf_comp, "mention")
         cmin = ml.groupBy("component").agg(F.min("mention_id").alias("cluster_id"))
-        return ml.join(F.broadcast(cmin), "component").select(
+        return ml.join(cmin, "component").select(
             F.col("mention_id").alias("node"), F.col("cluster_id").alias("component")
         )

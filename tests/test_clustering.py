@@ -69,3 +69,20 @@ def test_singletons_and_self_loops(spark):
         for r in connected_components(e, nodes=nodes).collect()
     }
     assert got == {1: 1, 2: 1, 5: 5, 9: 9}
+
+
+def test_star_components_equals_generic_cc(spark):
+    from blink_reloaded_spark.operators.clustering import star_components
+
+    # star forest: each leaf (surface) has exactly one edge to its hub
+    # (entity anchor) — the pipeline.run invariant from link_best's argmax.
+    # Hub ids mix signs like entity anchors vs xxhash surface ids do.
+    rng = random.Random(7)
+    hubs = [-1_000_000 - k for k in range(5)] + [99, -3]
+    edges = [(rng.randrange(1, 10_000) * (1 if rng.random() < 0.5 else -1), h)
+             for h in hubs for _ in range(rng.randrange(1, 6))]
+    edges = list({(a, h) for a, h in edges if a not in set(hubs)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    fast = sorted(map(tuple, star_components(e).collect()))
+    slow = sorted(map(tuple, connected_components(e).collect()))
+    assert fast == slow
