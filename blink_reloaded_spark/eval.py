@@ -70,6 +70,19 @@ def recall_at_k(candidates: DataFrame, gold_col: str = "label_id", ks=(1, 4, 8, 
     return gold_rank.agg(*aggs)
 
 
+def ann_recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int = 5) -> float:
+    """Recall@k of an approximate ANN result against the exact top-k:
+    |approx ∩ exact| / |exact| over (qid, nid) pairs with rank <= k — the
+    flat-vs-HNSW trade the reference publishes
+    (`blink/indexer/faiss_indexer.py:71-141`). Both inputs are
+    (qid, nid, rank, ...) frames as produced by ann01/ann03/ann05."""
+    e = exact.where(F.col("rank") <= k).select("qid", "nid")
+    a = approx.where(F.col("rank") <= k).select("qid", "nid")
+    hit = e.join(a, ["qid", "nid"], "left_semi").count()
+    total = e.count()
+    return round(hit / total, 4) if total else 1.0
+
+
 def macro_micro_accuracy(preds: DataFrame, group_col: str = "world") -> DataFrame:
     """A6: per-group accuracy then unweighted mean (macro) + global (micro)."""
     correct = (F.col("pred") == F.col("label")).cast("double")

@@ -107,20 +107,23 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     )
 
 
-def _hyperplanes(nplanes: int, dim: int = DIM) -> np.ndarray:
-    """Fixed seeded random hyperplanes (shared driver<->executor constant)."""
-    rng = np.random.RandomState(42)
+def _hyperplanes(nplanes: int, dim: int = DIM, seed: int = 42) -> np.ndarray:
+    """Fixed seeded random hyperplanes (shared driver<->executor constant).
+    Distinct seeds give INDEPENDENT tables for OR-amplified LSH (ann05)."""
+    rng = np.random.RandomState(seed)
     return rng.randn(nplanes, dim).astype(np.float64)
 
 
-def hyperplane_bucket(vec: Column, nplanes: int = 8, dim: int = DIM) -> Column:
+def hyperplane_bucket(
+    vec: Column, nplanes: int = 8, dim: int = DIM, seed: int = 42
+) -> Column:
     """Random-hyperplane LSH bucket id (long): bit j = sign(vec . plane_j).
 
     Pure Column arithmetic — the planes are literal arrays, the dot products
     stay in codegen. Vectors in the same bucket are cosine-close with high
     probability; used for embedding-based blocking and ANN.
     """
-    planes = _hyperplanes(nplanes, dim)
+    planes = _hyperplanes(nplanes, dim, seed)
     out = F.lit(0).cast("long")
     for j in range(nplanes):
         plane = F.array(*[F.lit(float(w)) for w in planes[j]])

@@ -1154,6 +1154,274 @@ FROM counts
 
 
 # --------------------------------------------------------------------------
+# round-2 widening: OR-amplified ANN (J7 recall amplification), incoming-link
+# counts (A1), BM25-style scored sparse retrieval (J8's scoring half)
+# --------------------------------------------------------------------------
+
+# OR-amplified ANN config: 16 independent 4-plane tables. Tuned on the
+# driver's embeddings table, whose vectors are near-uniform random (true
+# top-5 neighbors sit at median cosine 0.37): p(plane agrees) ~ 0.63, so
+# per-table hit prob is p^4 ~ 0.16 and 16 tables give recall
+# 1-(1-p^4)^16 ~ 0.94 (measured 0.91 at sf0.1). On such data LSH pruning is
+# information-theoretically limited (candidates ~ 63% of the cross join);
+# on real embedding corpora (near-dups at cosine >= 0.9, p >= 0.86) the SAME
+# machinery prunes to a tiny fraction — the recall/cost knob is (planes,
+# tables), and bench.py records the measured recall each round.
+ANN_PLANES = 4
+ANN_TABLE_SEEDS = tuple(1000 * t + 7 for t in range(16))
+LINK_MIN_TOKEN_LEN = 4
+BM25_NQUERY = 20
+BM25_QTOKENS = 8
+BM25_K = 5
+
+
+def ann05_multitable_lsh(spark, sf_dir):
+    """OR-amplified ANN (the reference's flat-vs-HNSW recall trade,
+    `blink/indexer/faiss_indexer.py:71-141`): 16 INDEPENDENT 4-plane
+    hyperplane tables; a pair is a candidate if ANY table buckets it
+    together — miss prob drops from (1-p^4) to (1-p^4)^16, p = 1 - theta/pi.
+    Union'd candidates are exactly re-ranked by cosine, top-5 per query.
+    bench.py measures recall@5 of ann03 (single-table) and ann05 vs the
+    exact ann01 baseline and records both in BASELINE.md (see the
+    ANN_PLANES note above for the tuning math on this corpus)."""
+    v = T(spark, sf_dir, "embeddings")
+    keys = [
+        F.concat_ws(
+            "_",
+            F.lit(str(t)),
+            emb.hyperplane_bucket(
+                F.col("embedding"), ANN_PLANES, EMB_DIM, seed=s
+            ).cast("string"),
+        )
+        for t, s in enumerate(ANN_TABLE_SEEDS)
+    ]
+    keyed = v.select("vec_id", F.explode(F.array(*keys)).alias("bk"))
+    q = keyed.where(F.col("vec_id") < ANN_NQUERY).select(
+        F.col("vec_id").alias("qid"), "bk"
+    )
+    c = keyed.select(F.col("vec_id").alias("nid"), "bk")
+    cand = (
+        q.join(c, "bk")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    qv = v.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    nv = v.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    scored = cand.join(qv, "qid").join(nv, "nid").select(
+        "qid", "nid", emb.cosine_similarity(F.col("qv"), F.col("nv")).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= ANN_K)
+        .select("qid", "nid", "rank", "cos")
+    )
+
+
+def _sql_ann05():
+    bks = ", ".join(
+        f"'{t}_' || CAST({osql.sql_hyperplane_bucket('embedding', emb._hyperplanes(ANN_PLANES, EMB_DIM, seed=s))} AS VARCHAR)"
+        for t, s in enumerate(ANN_TABLE_SEEDS)
+    )
+    cos = osql.sql_cosine("qe.embedding", "ne.embedding")
+    return f"""
+WITH k AS (SELECT vec_id, unnest([{bks}]) AS bk FROM embeddings),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+  FROM k q JOIN k c ON q.bk = c.bk AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {ANN_NQUERY}
+),
+scored AS (
+  SELECT qid, nid, {cos} AS cos
+  FROM cand JOIN embeddings qe ON qe.vec_id = qid
+            JOIN embeddings ne ON ne.vec_id = nid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def _link_toks():
+    """Outgoing-'link' list of a document: its distinct >=4-char tokens
+    (standing in for linked page titles — same explode->count shape)."""
+    return F.array_distinct(
+        F.filter(
+            tx.tokens(F.col("text")),
+            lambda t: F.length(t) >= LINK_MIN_TOKEN_LEN,
+        )
+    )
+
+
+def linkcount01_incoming(spark, sf_dir):
+    """A1 incoming-link group-count with the reference's two-source union +
+    second-chance key normalization (`blink/candidate_retrieval/
+    enrich_data.py:79-134`: wikipedia + wikidata link lists are unioned and
+    missing keys retried under different capitalization): explode each doc's
+    outgoing-link list; the second source (doc_id % 3 == 0) emits
+    Capitalized variants; keys normalize by lower(trim(...)); count incoming
+    links + distinct source docs per target."""
+    d = T(spark, sf_dir, "documents")
+    wiki = d.select("doc_id", F.explode(_link_toks()).alias("tgt"))
+    data = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.explode(_link_toks()).alias("tgt")
+    ).select(
+        "doc_id",
+        F.concat(
+            F.upper(F.substring(F.col("tgt"), 1, 1)), F.expr("substring(tgt, 2)")
+        ).alias("tgt"),
+    )
+    u = wiki.unionByName(data).select(
+        F.lower(F.trim(F.col("tgt"))).alias("target"), "doc_id"
+    )
+    return u.groupBy("target").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def _sql_link_union():
+    toks = (
+        f"list_distinct(list_filter({osql.sql_tokens('text')},"
+        f" t -> len(t) >= {LINK_MIN_TOKEN_LEN}))"
+    )
+    return f"""
+SELECT lower(trim(tgt)) AS target, doc_id FROM (
+  SELECT doc_id, unnest({toks}) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS tgt
+  FROM (SELECT doc_id, unnest({toks}) AS tgt FROM documents WHERE doc_id % 3 = 0)
+)"""
+
+
+def _sql_linkcount01():
+    return f"""
+WITH u AS ({_sql_link_union()})
+SELECT target, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+FROM u GROUP BY 1
+"""
+
+
+def bm25_01_scored_retrieval(spark, sf_dir):
+    """J8's scoring half — the reference's ranked edismax retrieval
+    (`blink/main_solr.py:126-143`: `title:({m}) OR ...` with
+    boost=log(sum(num_incoming_links,1)); `blink/candidate_generation.py:
+    68-115`; `candidate_retrieval/candidate_generators.py:59-116`)
+    re-expressed as the distributed inverted-index join:
+
+      * idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1) (BM25 idf) from the
+        exploded token table;
+      * query = first 8 distinct tokens of each doc_id < 20 document;
+      * pair score = sum of shared-token idf — summed as DECIMAL(18,6) so
+        the result is exact and addition-order independent (double sums
+        differ across engines/partitionings);
+      * + 0.5 * ln(1 + incoming_links(doc)) link boost, links from
+        linkcount01 joined on the doc 'title' (its first >=4-char token) —
+        additive composition of the reference's multiplicative edismax boost;
+      * per-query top-5 by (score desc, did).
+    """
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tx.tokens(F.col("text")))).alias("tok")
+    )
+    n_docs = d.agg(F.count("*").cast("double").alias("_n"))
+    idf = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            F.round(
+                F.log((F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+                6,
+            ).cast("decimal(18,6)").alias("idf"),
+        )
+    )
+    qtok = d.where(F.col("doc_id") < BM25_NQUERY).select(
+        F.col("doc_id").alias("qid"),
+        F.explode(
+            F.array_distinct(F.slice(tx.tokens(F.col("text")), 1, BM25_QTOKENS))
+        ).alias("tok"),
+    )
+    links = linkcount01_incoming(spark, sf_dir)
+    titles = d.select("doc_id", F.get(_link_toks(), 0).alias("title"))
+    boosts = (
+        titles.join(links, titles.title == links.target, "left")
+        .select("doc_id", F.coalesce(F.col("n_links"), F.lit(0)).alias("inl"))
+    )
+    pairs = qtok.join(toks.withColumnRenamed("doc_id", "did"), "tok").where(
+        F.col("qid") != F.col("did")
+    )
+    s = pairs.join(idf, "tok").groupBy("qid", "did").agg(F.sum("idf").alias("s_idf"))
+    scored = s.join(boosts.withColumnRenamed("doc_id", "did"), "did").select(
+        "qid",
+        "did",
+        F.round(
+            F.col("s_idf").cast("double")
+            + F.lit(0.5) * F.log(F.lit(1.0) + F.col("inl")),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "did")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= BM25_K)
+        .select("qid", "did", "rank", "score")
+    )
+
+
+def _sql_bm25_01():
+    all_toks = f"list_distinct({osql.sql_tokens('text')})"
+    q_toks = f"list_distinct(list_slice({osql.sql_tokens('text')}, 1, {BM25_QTOKENS}))"
+    title = (
+        f"(list_filter({osql.sql_tokens('text')},"
+        f" t -> len(t) >= {LINK_MIN_TOKEN_LEN}))[1]"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({all_toks}) AS tok FROM documents),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS _n FROM documents),
+idf AS (
+  SELECT tok, CAST(round(ln((_n - df + 0.5) / (df + 0.5) + 1.0), 6)
+              AS DECIMAL(18,6)) AS idf
+  FROM (SELECT tok, count(*) AS df FROM toks GROUP BY 1), n
+),
+qtok AS (
+  SELECT doc_id AS qid, unnest({q_toks}) AS tok
+  FROM documents WHERE doc_id < {BM25_NQUERY}
+),
+u AS ({_sql_link_union()}),
+links AS (SELECT target, count(*) AS n_links FROM u GROUP BY 1),
+titles AS (SELECT doc_id, {title} AS title FROM documents),
+boosts AS (
+  SELECT t.doc_id, coalesce(l.n_links, 0) AS inl
+  FROM titles t LEFT JOIN links l ON t.title = l.target
+),
+s AS (
+  SELECT qid, t.doc_id AS did, sum(i.idf) AS s_idf
+  FROM qtok q JOIN toks t ON q.tok = t.tok AND q.qid != t.doc_id
+  JOIN idf i ON i.tok = q.tok
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, did,
+    round(CAST(s_idf AS DOUBLE) + 0.5 * ln(1 + inl), 6) AS score
+  FROM s JOIN boosts b ON b.doc_id = did
+),
+ranked AS (
+  SELECT qid, did, score,
+    row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
+  FROM scored
+)
+SELECT qid, did, CAST(rank AS BIGINT) AS rank, score FROM ranked
+WHERE rank <= {BM25_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1204,6 +1472,9 @@ FROM (SELECT doc_id,
         "ann02_hyperplane_bucket": ann02_hyperplane_bucket,
         "ann03_lsh_topk": ann03_lsh_topk,
         "ann04_block_matmul": ann04_block_matmul,
+        "ann05_multitable_lsh": ann05_multitable_lsh,
+        "linkcount01_incoming": linkcount01_incoming,
+        "bm25_01_scored_retrieval": bm25_01_scored_retrieval,
         "multimodal01_metadata": multimodal01_metadata,
         "er01_mentions": er01_mentions,
         "er02_candidate_pairs": er02_candidate_pairs,
@@ -1244,6 +1515,9 @@ FROM (SELECT doc_id,
         "ann02_hyperplane_bucket": _sql_ann02(),
         "ann03_lsh_topk": _sql_ann03(),
         "ann04_block_matmul": _sql_ann03(),  # must equal the JVM-side ann03
+        "ann05_multitable_lsh": _sql_ann05(),
+        "linkcount01_incoming": _sql_linkcount01(),
+        "bm25_01_scored_retrieval": _sql_bm25_01(),
         "multimodal01_metadata": _sql_multimodal01(),
         "er01_mentions": _sql_er01(),
         "er02_candidate_pairs": _sql_er02(),
