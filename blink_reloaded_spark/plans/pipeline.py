@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from blink_reloaded_spark.functions.embedding import hashed_embedding_udf
 from blink_reloaded_spark.functions.text import tokens
 from blink_reloaded_spark.operators.blocking import (
+    auto_blocking_params,
     blocking_keys,
     candidate_pairs,
     mention_entity_candidates,
@@ -72,19 +73,56 @@ class LinkagePipeline:
     # per-band hit prob = shingle-jaccard; 12 bands -> recall 1-(1-j)^12.
     # 2-shingles keep jaccard high under multi-token typos (j("feji inc",
     # "fejmi imnc") = 0.45 at k=2 vs 0.17 at k=3 -> miss prob 0.08% vs 11%).
-    # SCALE NOTE: with a very large entity catalogue (>=10^6), the k=2 key
-    # space (~1.3k distinct shingles) makes band buckets hot — configure
-    # k=3-4 with rows=2 (key space squared) there; these are ctor params.
+    # SCALE NOTE: with a large entity catalogue the k=2 key space (~1.3k
+    # distinct shingles) makes band buckets hot — use LinkagePipeline.tuned
+    # (blocking.auto_blocking_params + block purging) above ~2*10^4 entities.
     bands: int = 12
     rows: int = 1
     shingle_k: int = 2
     threshold: float = DEFAULT_THRESHOLD
     max_block: int = 1000
+    # entity-side block purge bound for the KB join (None = off); set by
+    # LinkagePipeline.tuned for large catalogues — see
+    # blocking.mention_entity_candidates
+    max_entity_block: int | None = None
     # counter metrics per stage (north_rule). collect_metrics=False skips the
     # per-stage count() actions — use for throughput benchmarking where the
     # extra jobs would dominate small-input wall time.
     collect_metrics: bool = True
     metrics: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def tuned(
+        cls, spark: SparkSession, n_catalogue: int, **overrides: Any
+    ) -> "LinkagePipeline":
+        """Pipeline with blocking params chosen from the entity-catalogue
+        size (blocking.auto_blocking_params) and block purging enabled above
+        the small-catalogue regime. Explicit kwargs override the tuning."""
+        params: dict[str, Any] = dict(auto_blocking_params(n_catalogue))
+        if n_catalogue >= 20_000:
+            params["max_entity_block"] = 2_000
+        params.update(overrides)
+        return cls(spark, **params)
+
+    def _fingerprint(self, surfaces: list[str] | None) -> str:
+        """Digest of the params + surface dictionary that determine stage
+        output (given the same input tables)."""
+        import hashlib
+        import json as _json
+
+        src = _json.dumps(
+            {
+                "bands": self.bands,
+                "rows": self.rows,
+                "shingle_k": self.shingle_k,
+                "threshold": self.threshold,
+                "max_block": self.max_block,
+                "max_entity_block": self.max_entity_block,
+                "surfaces": sorted(surfaces) if surfaces else None,
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(src.encode()).hexdigest()[:16]
 
     def run(
         self,
@@ -104,13 +142,18 @@ class LinkagePipeline:
             if self.checkpoint_dir
             else None
         )
+        # stale-resume guard: any param/dictionary change invalidates ALL
+        # stage checkpoints under this dir (the data inputs themselves are
+        # the caller's identity contract — pick a fresh checkpoint_dir or
+        # run_id per input snapshot)
+        fingerprint = self._fingerprint(surfaces)
 
         import time as _time
 
         def stage(name: str, build, materialize: bool = True, **kw) -> DataFrame:
             t0 = _time.time()
             if ckpt:
-                out = ckpt.stage(name, build, **kw)
+                out = ckpt.stage(name, build, fingerprint=fingerprint, **kw)
             else:
                 # no checkpoint store: still materialize each stage once —
                 # downstream actions (stage metrics, CC iterations) must not
@@ -194,7 +237,9 @@ class LinkagePipeline:
                 shingle_k=self.shingle_k,
                 extra_key_cols=["prefix_key"],
             )
-            return mention_entity_candidates(mk, ek)
+            return mention_entity_candidates(
+                mk, ek, max_entity_block=self.max_entity_block
+            )
 
         cands = stage("candidates", build_candidates, inputs=["surfaces"])
         count_metric("candidate_pairs", cands)

@@ -87,6 +87,7 @@ class CheckpointManager:
         inputs: list[str] | None = None,
         metrics: dict[str, Any] | None = None,
         partition_by: list[str] | None = None,
+        fingerprint: str | None = None,
     ) -> DataFrame:
         """Write a stage table + manifest (lineage: inputs, row/partition
         counts, wall time). Returns the re-read DataFrame so downstream
@@ -118,6 +119,7 @@ class CheckpointManager:
                 "stage": name,
                 "run_id": self.run_id,
                 "inputs": inputs or [],
+                "fingerprint": fingerprint,
                 "rows": out.count(),
                 "n_files": n_files,
                 "wall_sec": round(time.time() - t0, 3),
@@ -136,15 +138,36 @@ class CheckpointManager:
         inputs: list[str] | None = None,
         partition_by: list[str] | None = None,
         force: bool = False,
+        fingerprint: str | None = None,
     ) -> DataFrame:
         """Resume-aware stage: skip `build` entirely when the checkpoint is
         complete (kill-and-rerun gives byte-identical output without
-        recomputation — tested in tests/test_checkpoint.py)."""
+        recomputation — tested in tests/test_checkpoint.py).
+
+        `fingerprint` guards against STALE resumes: a short digest of the
+        stage's inputs/params (the pipeline hashes its blocking/scoring
+        config + surface dictionary). A checkpoint written under a different
+        fingerprint is rebuilt, not silently returned — rerunning with new
+        params against the same checkpoint_dir must not yield old output.
+        None opts out (existence-only resume, the round-1 behavior).
+        """
         if not force and self.exists(name):
-            self._log.append({"stage": name, "resumed": True})
-            return self.read(name)
+            stale = False
+            if fingerprint is not None and not self.use_iceberg:
+                try:
+                    old = self.manifest(name).get("fingerprint")
+                except (OSError, json.JSONDecodeError):
+                    old = None
+                stale = old != fingerprint
+            if not stale:
+                self._log.append({"stage": name, "resumed": True})
+                return self.read(name)
+            self._log.append({"stage": name, "rebuilt": "fingerprint_mismatch"})
         df = build()
-        return self.write(name, df, inputs=inputs, partition_by=partition_by)
+        return self.write(
+            name, df, inputs=inputs, partition_by=partition_by,
+            fingerprint=fingerprint,
+        )
 
     @property
     def log(self) -> list[dict[str, Any]]:

@@ -66,3 +66,37 @@ def test_incomplete_checkpoint_recomputes(spark, tmp_path):
         f.write("garbage")  # simulates a torn write, no _MANIFEST.json
     df = ckpt.stage("s1", lambda: spark.range(3))
     assert df.count() == 3
+
+
+def test_fingerprint_mismatch_rebuilds(spark, tmp_path):
+    from blink_reloaded_spark.sources.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(spark, str(tmp_path / "fp"))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.createDataFrame([(calls["n"],)], "v long")
+
+    a = ckpt.stage("s", build, fingerprint="cfgA")
+    assert calls["n"] == 1 and a.collect()[0]["v"] == 1
+    # same fingerprint -> resumed, not rebuilt
+    a2 = ckpt.stage("s", build, fingerprint="cfgA")
+    assert calls["n"] == 1 and a2.collect()[0]["v"] == 1
+    # changed params -> must NOT silently return stale output (ADVICE r1)
+    b = ckpt.stage("s", build, fingerprint="cfgB")
+    assert calls["n"] == 2 and b.collect()[0]["v"] == 2
+    assert {"stage": "s", "rebuilt": "fingerprint_mismatch"} in ckpt.log
+    # None opts out: existence-only resume
+    c = ckpt.stage("s", build)
+    assert calls["n"] == 2 and c.collect()[0]["v"] == 2
+
+
+def test_pipeline_param_change_invalidates_checkpoints(spark, tmp_path):
+    from blink_reloaded_spark.plans.pipeline import LinkagePipeline
+
+    p1 = LinkagePipeline(spark, checkpoint_dir=str(tmp_path / "pc"))
+    p2 = LinkagePipeline(spark, checkpoint_dir=str(tmp_path / "pc"), bands=6)
+    assert p1._fingerprint(["a", "b"]) == p1._fingerprint(["b", "a"])
+    assert p1._fingerprint(["a"]) != p1._fingerprint(["b"])
+    assert p1._fingerprint(["a"]) != p2._fingerprint(["a"])
