@@ -133,6 +133,119 @@ def _gen_token(surfaces: list[str]):
     return gen
 
 
+def _gen_token_vec(surfaces: list[str]):
+    """Batch-vectorized token-hash matcher — identical semantics to
+    `_gen_token` (pinned by tests/test_mentions.py::test_vec_matcher_*),
+    with the per-TOKEN Python loop replaced by numpy/pandas over the whole
+    Arrow batch; Python touches only the sparse match candidates:
+
+      1. join the batch's lowered texts with '\\x00' into one string; token
+         spans come from a numpy char-class pass (diff of an is-[a-z0-9]
+         mask over utf-32 codes — no per-token Python), token strings from
+         ONE C-level findall;
+      2. 1/2/3-gram dictionary membership via vectorized Series.isin;
+         multi-token phrases require an exactly-single-space gap (numpy
+         check on the separator char), and cannot cross rows ('\\x00'
+         breaks both the mask and the gap check);
+      3. leftmost-longest non-overlap resolution is a Python loop over the
+         CANDIDATE matches only (sparse: ~1 per turn vs ~20 tokens);
+      4. rows recovered by searchsorted over cumulative text offsets.
+    """
+    by_len: dict[int, set[str]] = {1: set(), 2: set(), 3: set()}
+    for s in set(surfaces):
+        toks = s.lower().split(" ")
+        if 1 <= len(toks) <= 3 and all(_TOK_RX.fullmatch(t) for t in toks):
+            by_len[len(toks)].add(s.lower())
+        else:
+            raise ValueError(f"token matcher supports 1-3 word-token surfaces: {s!r}")
+
+    import numpy as np
+
+    # first-word prefilter for multi-token phrases: building phrase strings
+    # is the expensive step, so do it only where the first token can start
+    # a dictionary phrase (sparse) instead of at every token position
+    first2 = {p.split(" ", 1)[0] for p in by_len[2]}
+    first3 = {p.split(" ", 1)[0] for p in by_len[3]}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in MENTION_SCHEMA.fields}
+            lows = pdf["text"].fillna("").astype(str).str.lower().tolist()
+            conv_ids = pdf["conv_id"].tolist()
+            turn_idxs = pdf["turn_idx"].tolist()
+            big = "\x00".join(lows)
+            if big:
+                codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+                is_tok = ((codes >= 97) & (codes <= 122)) | (
+                    (codes >= 48) & (codes <= 57)
+                )
+                d = np.diff(is_tok.astype(np.int8))
+                starts = np.flatnonzero(d == 1) + 1
+                ends = np.flatnonzero(d == -1) + 1
+                if is_tok[0]:
+                    starts = np.concatenate(([0], starts))
+                if is_tok[-1]:
+                    ends = np.concatenate((ends, [len(codes)]))
+            else:
+                starts = ends = np.empty(0, dtype=np.int64)
+            n_tok = len(starts)
+            if n_tok:
+                toks = pd.Series(_TOK_RX.findall(big), dtype=object)
+                assert len(toks) == n_tok
+                cand_n = np.zeros(n_tok, dtype=np.int8)
+                if by_len[1]:
+                    cand_n = np.where(toks.isin(by_len[1]).to_numpy(), 1, cand_n)
+                # gap between consecutive tokens is exactly one space
+                if n_tok >= 2 and (by_len[2] or by_len[3]):
+                    gap1 = (starts[1:] - ends[:-1] == 1) & (codes[ends[:-1]] == 32)
+                    tarr = toks.to_numpy()
+                if n_tok >= 2 and by_len[2]:
+                    at2 = np.flatnonzero(
+                        toks.iloc[:-1].isin(first2).to_numpy() & gap1
+                    )
+                    for i in at2:
+                        if tarr[i] + " " + tarr[i + 1] in by_len[2]:
+                            cand_n[i] = 2
+                if n_tok >= 3 and by_len[3]:
+                    at3 = np.flatnonzero(
+                        toks.iloc[:-2].isin(first3).to_numpy()
+                        & gap1[:-1]
+                        & gap1[1:]
+                    )
+                    for i in at3:
+                        if tarr[i] + " " + tarr[i + 1] + " " + tarr[i + 2] in by_len[3]:
+                            cand_n[i] = 3
+                idxs = np.flatnonzero(cand_n)
+                if len(idxs):
+                    # row offsets: row r's text spans [row_starts[r],
+                    # row_starts[r] + len(lows[r]))
+                    lens = np.fromiter((len(t) for t in lows), dtype=np.int64,
+                                       count=len(lows))
+                    row_starts = np.zeros(len(lows), dtype=np.int64)
+                    np.cumsum(lens[:-1] + 1, out=row_starts[1:])
+                    last_end = -1
+                    for i in idxs:
+                        s = int(starts[i])
+                        if s < last_end:
+                            continue  # inside a previous (longer) match
+                        n = int(cand_n[i])
+                        e = int(ends[i + n - 1])
+                        last_end = e
+                        r = int(np.searchsorted(row_starts, s, side="right")) - 1
+                        rs = int(row_starts[r])
+                        low = lows[r]
+                        out["conv_id"].append(conv_ids[r])
+                        out["turn_idx"].append(turn_idxs[r])
+                        out["start_pos"].append(s - rs)
+                        out["end_pos"].append(e - rs)
+                        out["mention"].append(big[s:e])
+                        out["context_left"].append(low[: s - rs])
+                        out["context_right"].append(low[e - rs :])
+            yield pd.DataFrame(out)
+
+    return gen
+
+
 def extract_mentions(
     transcripts: DataFrame, surfaces: list[str], impl: str = "token"
 ) -> DataFrame:
@@ -143,13 +256,23 @@ def extract_mentions(
     stable ordering key (conv_id, turn_idx, start_pos) — W6: ids are data,
     never positions (unlike the reference's list indices).
 
-    impl='token' (default): token-hash phrase matcher (falls back to regex
-    when the dictionary has non-token surfaces); impl='regex': the
-    alternation baseline (identical output, ~15x slower on big dicts).
+    impl='token' (default): batch-vectorized token-hash matcher
+    (_gen_token_vec; falls back to regex when the dictionary has non-token
+    surfaces); impl='token_loop': the row-loop token matcher (parity
+    baseline); impl='regex': the alternation baseline (identical output,
+    slowest on big dicts).
+
+    ID NOTE (ADVICE r1): mention_id = xxhash64(conv_id, turn_idx,
+    start_pos). At 10^12 mentions, 64-bit birthday collisions (~10^4
+    expected) would merge unrelated mentions; the natural composite key
+    (conv_id, turn_idx, start_pos) is ALSO emitted on every row — at that
+    scale join on it and treat mention_id as an output-only surrogate (the
+    uniqueness of the composite key is what the extractor guarantees).
     """
-    if impl == "token":
+    gens = {"token": _gen_token_vec, "token_loop": _gen_token, "regex": _gen_regex}
+    if impl in ("token", "token_loop"):
         try:
-            gen = _gen_token(surfaces)
+            gen = gens[impl](surfaces)
         except ValueError:
             gen = _gen_regex(surfaces)
     else:

@@ -42,6 +42,54 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def read_wiki_extractor_output(spark: SparkSession, path: str) -> DataFrame:
+    """S5: wiki-extractor dump scan — the stateful per-`<doc id=...>` parse
+    of `blink/candidate_retrieval/process_wiki_extractor_output.py:45-93`,
+    distributed with the FILE as the parse unit (the reference also parses
+    one extractor output file per run; no state crosses files, so
+    parallelism = files — the natural shape for a dump of thousands of ~MB
+    shards; a byte-split text scan would tear doc blocks).
+
+    Reference semantics preserved exactly: for each `<doc id=.. url=..
+    title=..>` header, collect the INTRO lines — everything up to the first
+    `Section::::` heading or `</doc>` — stripped; emit (page_id, title,
+    url, intro_lines as one newline-joined string, n_intro_lines).
+    """
+    import xml.etree.ElementTree as ET
+
+    files = spark.read.text(path, wholetext=True)
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"page_id": [], "title": [], "url": [], "intro": [], "n_intro_lines": []}
+            for blob in pdf["value"]:
+                doc_attr, lines, in_intro = None, [], False
+                for line in (blob or "").splitlines():
+                    if line.startswith("<doc id="):
+                        doc_attr = ET.fromstring(line + "</doc>").attrib
+                        lines, in_intro = [], True
+                        continue
+                    if not in_intro:
+                        continue
+                    if line.startswith("Section::::") or line.startswith("</doc>"):
+                        out["page_id"].append(int(doc_attr["id"]))
+                        out["title"].append(doc_attr["title"])
+                        out["url"].append(doc_attr.get("url", ""))
+                        out["intro"].append("\n".join(lines))
+                        out["n_intro_lines"].append(len(lines))
+                        in_intro = False
+                        continue
+                    lines.append(line.strip())
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        parse,
+        schema="page_id long, title string, url string, intro string, n_intro_lines int",
+    )
+
+
 def read_sentences(spark: SparkSession, path: str, one_per_line: bool = True) -> DataFrame:
     """S11 flat-file sentence reader (`blink/utils.py:15-30`); when
     one_per_line=False, paragraphs are split on sentence punctuation

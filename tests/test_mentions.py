@@ -84,3 +84,29 @@ def test_longest_match_wins(spark):
     )
     m = extract_mentions(tr, ["acme", "acme corp"]).collect()
     assert len(m) == 1 and m[0]["mention"] == "acme corp"
+
+
+def test_vec_matcher_equals_loop_adversarial(spark):
+    """_gen_token_vec vs _gen_token on the nasty cases: overlap chains,
+    multi-space gaps, punctuation gaps, row boundaries, unicode, empties."""
+    rows = [
+        ("c1", 0, "a b c d"),                      # chain: greedy a b, c d
+        ("c1", 1, "a  b"),                         # double space: no 2-gram
+        ("c1", 2, "a-b and a b"),                  # punct gap vs space gap
+        ("c1", 3, ""),                             # empty
+        ("c1", 4, None),                           # null
+        ("c2", 0, "x a b c y c d"),                # mid-row chains
+        ("c2", 1, "café a b"),                # non-ascii before match
+        ("c2", 2, "b c"),                          # row starts with match
+        ("c2", 3, "AGG Part SPARK"),               # case folding
+        ("c2", 4, "a"),                            # row == match
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    ).repartition(3)
+    surfaces = ["a b", "b c", "c d", "a", "agg part", "spark", "c"]
+    cols = ["conv_id", "turn_idx", "start_pos", "end_pos", "mention"]
+    vec = sorted(map(tuple, extract_mentions(tr, surfaces, impl="token").select(cols).collect()))
+    loop = sorted(map(tuple, extract_mentions(tr, surfaces, impl="token_loop").select(cols).collect()))
+    rx = sorted(map(tuple, extract_mentions(tr, surfaces, impl="regex").select(cols).collect()))
+    assert vec == loop == rx and len(vec) > 0

@@ -63,3 +63,45 @@ def test_sentence_reader(spark, tmp_path):
     assert one.count() == 2
     split = read_sentences(spark, str(p), one_per_line=False)
     assert split.count() == 4
+
+
+def test_wiki_extractor_scan(spark, tmp_path):
+    """S5: per-<doc> stateful parse, intro = lines before the first
+    Section:::: heading (reference process_wiki_extractor_output.py:45-93)."""
+    from blink_reloaded_spark.sources.readers import read_wiki_extractor_output
+
+    f1 = tmp_path / "wiki_00"
+    f1.write_text(
+        '<doc id="12" url="https://x/12" title="Acme Corp">\n'
+        "Acme Corp\n"
+        "\n"
+        "Acme Corp is a company.  \n"
+        "It makes anvils.\n"
+        "Section::::History.\n"
+        "Founded long ago.\n"
+        "</doc>\n"
+        '<doc id="34" url="https://x/34" title="Beta &amp; Co">\n'
+        "Beta & Co\n"
+        "No sections here.\n"
+        "</doc>\n"
+    )
+    f2 = tmp_path / "wiki_01"
+    f2.write_text(
+        '<doc id="56" url="https://x/56" title="Gamma">\n'
+        "Gamma\n"
+        "</doc>\n"
+    )
+    got = {
+        r["page_id"]: r
+        for r in read_wiki_extractor_output(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {12, 34, 56}
+    assert got[12]["title"] == "Acme Corp"
+    # intro stops BEFORE Section:::: and strips each line
+    assert got[12]["intro"].splitlines() == [
+        "Acme Corp", "", "Acme Corp is a company.", "It makes anvils.",
+    ]
+    assert got[12]["n_intro_lines"] == 4
+    assert got[34]["title"] == "Beta & Co"  # XML entity decoded
+    assert got[34]["intro"].splitlines() == ["Beta & Co", "No sections here."]
+    assert got[56]["intro"] == "Gamma" and got[56]["n_intro_lines"] == 1
