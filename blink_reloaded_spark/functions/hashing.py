@@ -169,6 +169,33 @@ def sig_array_from_sig_table(sig, num_hashes: int):
     )
 
 
+def simhash_exploded(df, id_col: str, toks: Column, nbits: int = 32):
+    """(id, simhash) with the explode->groupBy shape: one poly_hash per
+    DISTINCT token (joined back), then nbits conditional-count aggregates
+    per id. Same values as `simhash64` (pinned by test) — which evaluates
+    the whole token-hash array once PER BIT (nbits full passes per row) and
+    is kept as the single-expression variant for inline use. Duplicate
+    tokens count once per occurrence, exactly like simhash64's transform.
+    Ids with empty/missing token arrays do not appear (explode drops them);
+    callers union them back with simhash 0 if needed."""
+    e = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("s"))
+    dist = e.select("s").distinct().select("s", poly_hash(F.col("s")).alias("h"))
+    h = e.join(dist, "s").select("id", "h")
+    aggs = [F.count("*").alias("n")] + [
+        F.sum((perm_hash(F.col("h"), j) % F.lit(2) == F.lit(1)).cast("long")).alias(
+            f"c{j}"
+        )
+        for j in range(nbits)
+    ]
+    g = h.groupBy("id").agg(*aggs)
+    out = F.lit(0).cast("long")
+    for j in range(nbits):
+        out = out + (F.col(f"c{j}") * F.lit(2) > F.col("n")).cast("long") * F.lit(
+            1 << j
+        )
+    return g.select("id", out.alias("simhash"))
+
+
 def minhash_band_keys_exploded(
     df,
     id_col: str,

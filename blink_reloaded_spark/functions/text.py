@@ -38,13 +38,16 @@ def normalize_text(c: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
 
 
-def tokens(c: Column) -> Column:
+def tokens(c: Column, normalize: bool = True) -> Column:
     """Split normalized text on non-alphanumeric runs; drop empties.
 
     DuckDB mirror: list_filter(string_split_regex(<norm>, '[^a-z0-9]+'),
-    t -> t != '').
+    t -> t != ''). normalize=False skips the inner normalize_text for
+    callers that already projected the normalized string (idempotent, so
+    values are identical either way).
     """
-    return F.filter(F.split(normalize_text(c), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+    s = normalize_text(c) if normalize else c
+    return F.filter(F.split(s, "[^a-z0-9]+"), lambda t: t != F.lit(""))
 
 
 def char_shingles(
@@ -137,11 +140,18 @@ def budget_context(
     )
 
 
-def quality_score_cols(c: Column) -> dict[str, Column]:
+def quality_score_cols(
+    c: Column | None, s: Column | None = None, toks: Column | None = None
+) -> dict[str, Column]:
     """Document-quality feature columns: lengths, punctuation ratio, stopword
-    ratio, mean token length. All exact rational arithmetic over counts."""
-    s = normalize_text(c)
-    toks = tokens(c)
+    ratio, mean token length. All exact rational arithmetic over counts.
+
+    Pass pre-projected `s` (normalized text) and `toks` columns on hot
+    paths: each returned column otherwise embeds its own copy of the
+    normalize/tokenize subtree, and Catalyst will not rewrite the shared
+    work out of six sibling expressions."""
+    s = normalize_text(c) if s is None else s
+    toks = tokens(c) if toks is None else toks
     n_tok = F.size(toks)
     stop = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
@@ -160,10 +170,15 @@ def quality_score_cols(c: Column) -> dict[str, Column]:
     }
 
 
-def lang_id_col(c: Column) -> Column:
+def lang_id_col(c: Column | None, toks: Column | None = None) -> Column:
     """Language-ID heuristic: argmax over per-language stopword hit counts,
-    ties broken by language code order; 'und' when no evidence."""
-    toks = tokens(c)
+    ties broken by language code order; 'und' when no evidence.
+
+    Pass a pre-projected `toks` column on hot paths: the argmax expression
+    references each per-language count twice (in `best` and in its own
+    when-branch), so an inline tokenize subtree is evaluated ~3x languages
+    times per row."""
+    toks = tokens(c) if toks is None else toks
     scores = {
         lang: F.size(
             F.filter(

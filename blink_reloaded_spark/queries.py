@@ -28,7 +28,7 @@ from blink_reloaded_spark.functions.hashing import (
     poly_hash,
     sig_agreement,
     sig_array_from_sig_table,
-    simhash64,
+    simhash_exploded,
 )
 from blink_reloaded_spark.functions.similarity import (
     jaro_winkler_udf,
@@ -388,9 +388,19 @@ FROM orders
 
 
 def text01_quality(spark, sf_dir):
-    """Document quality scoring: lengths, punct/stopword ratios."""
-    d = T(spark, sf_dir, "documents")
-    cols = tx.quality_score_cols(F.col("text"))
+    """Document quality scoring: lengths, punct/stopword ratios. The
+    normalized string and token array are projected ONCE (own parallelism
+    on the 1-split scan), then every feature column reads the shared
+    columns instead of re-running the normalize/tokenize subtree."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par)
+        .withColumn("nt", tx.normalize_text(F.col("text")))
+        .withColumn("tk", tx.tokens(F.col("nt"), normalize=False))
+    )
+    cols = tx.quality_score_cols(None, s=F.col("nt"), toks=F.col("tk"))
     return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
@@ -401,9 +411,18 @@ def _sql_text01():
 
 
 def text02_langid(spark, sf_dir):
-    """Language-ID heuristic vs the stored lang column."""
-    d = T(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", tx.lang_id_col(F.col("text")).alias("lang_pred"))
+    """Language-ID heuristic vs the stored lang column (token array
+    projected once; see lang_id_col docstring)."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .repartition(par)
+        .withColumn("tk", tx.tokens(F.col("text")))
+    )
+    return d.select(
+        "doc_id", "lang", tx.lang_id_col(None, toks=F.col("tk")).alias("lang_pred")
+    )
 
 
 def _sql_text02():
@@ -574,12 +593,27 @@ def dedup03_minhash_lsh(spark, sf_dir):
     return out.select("a", "b", "jacc")
 
 
+def _doc_simhash(spark, sf_dir):
+    """(doc_id, simhash) via the explode->groupBy shape (simhash_exploded:
+    distinct-token hashing, no per-bit re-pass); empty-token docs get 0."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par)
+        .select("doc_id", tx.tokens(F.col("text")).alias("tk"))
+    )
+    sh = simhash_exploded(d, "doc_id", F.col("tk"), 32).withColumnRenamed(
+        "id", "doc_id"
+    )
+    return d.select("doc_id").join(sh, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )
+
+
 def dedup04_simhash(spark, sf_dir):
     """Portable SimHash per document (dedup by hamming-ball grouping)."""
-    d = T(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", simhash64(tx.tokens(F.col("text")), 32).alias("simhash")
-    )
+    return _doc_simhash(spark, sf_dir)
 
 
 def _sql_dedup04():
@@ -1014,8 +1048,8 @@ def dedup05_simhash_pairs(spark, sf_dir):
     simhash; pairs sharing a band verified by exact hamming <= 3. Pigeonhole
     guarantee: <=3 differing bits cannot touch all 4 bands, so banding has
     recall exactly 1 at this threshold — the oracle is the exact O(n^2) SQL."""
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", simhash64(tx.tokens(F.col("text")), 32).alias("sh")
+    d = _doc_simhash(spark, sf_dir).withColumnRenamed(
+        "simhash", "sh"
     ).localCheckpoint()
     bands = d.select(
         "doc_id",

@@ -104,3 +104,27 @@ def test_fingerprint_and_langid(spark):
     for r in out:
         assert r["lang"] == r["expect"]
         assert 0 <= r["fp"] < P
+
+
+def test_simhash_exploded_equals_inline(spark):
+    from pyspark.sql import functions as F
+
+    from blink_reloaded_spark.functions.hashing import simhash64, simhash_exploded
+    from blink_reloaded_spark.functions.text import tokens
+
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "the quick brown fox"),
+        (2, "jumps over the lazy dog dog dog"),   # duplicate tokens count
+        (3, "x"),
+        (4, ""),                                   # empty -> dropped by explode
+    ]
+    d = spark.createDataFrame(rows, "id long, text string").withColumn(
+        "tk", tokens(F.col("text"))
+    )
+    inline = {r["id"]: r["s"] for r in d.select("id", simhash64(F.col("tk"), 32).alias("s")).collect()}
+    expl = {r["id"]: r["simhash"] for r in simhash_exploded(d, "id", F.col("tk"), 32).collect()}
+    for i in (0, 1, 2, 3):
+        assert expl[i] == inline[i], i
+    assert 4 not in expl and inline[4] == 0
+    assert inline[0] == inline[1] and inline[0] != inline[2]
