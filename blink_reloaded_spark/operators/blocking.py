@@ -144,6 +144,8 @@ def mention_entity_candidates(
     mention_keys: DataFrame,
     entity_keys: DataFrame,
     max_entity_block: int | None = None,
+    max_candidates_per_mention: int | None = None,
+    max_key_pairs: int | None = None,
 ) -> DataFrame:
     """Candidate (mention, entity) pairs: equi-join of the two key tables on
     block_key -> distinct pairs.
@@ -162,16 +164,59 @@ def mention_entity_candidates(
     record still carries its other band keys + the prefix key, which is
     where true-match recall lives. Bounds the per-key join fan-out to
     |mentions_key| * max_entity_block.
+
+    `max_key_pairs` is COMPARISON-LEVEL purging: drop keys whose join
+    product |mentions_key| * |entities_key| exceeds the cap. Sharper than
+    the entity-only bound — a 400-entity key met by 9k mention surfaces is
+    3.6M comparisons from ONE non-discriminative key. Measured at 20k
+    entities / 92k alias surfaces: raw product 325M pairs; cap 1M -> 106M
+    at gold blocked-recall 0.9993, cap 200k -> 56M at 0.9985, cap 50k ->
+    34M at 0.9971 (gold pairs share their RARE keys, so hot-key loss is
+    tiny; per-record block filtering, by contrast, collapsed recall to 0.79
+    because a typo'd alias's smallest buckets are exactly its UNSHARED
+    keys).
+
+    `max_candidates_per_mention` is the reference's top-k retrieval bound
+    (O2, `blink/main_dense.py:238-262` keeps top_k=100 per mention): keep
+    the k candidates sharing the MOST block keys with the mention (ties by
+    entity id). Without it, the scorer input is Σ_key |m_k|·|e_k| — hot
+    keys at the purge cap times popular mention keys multiply into
+    hundreds of millions of Python-scored pairs at 10^4+ entities; with
+    it, scorer input is exactly |mentions| * k, and shared-key count is a
+    better-than-random cheap rank (band agreement ~ jaccard).
     """
     m = mention_keys.select(F.col("id").alias("a"), "block_key")
     e = entity_keys.select(F.col("id").alias("b"), "block_key")
-    if max_entity_block is not None:
-        ok = (
-            e.groupBy("block_key")
-            .agg(F.count("*").alias("esz"))
-            .where(F.col("esz") <= max_entity_block)
-            .select("block_key")
-        )
+    if max_entity_block is not None or max_key_pairs is not None:
+        esz = e.groupBy("block_key").agg(F.count("*").alias("esz"))
+        if max_key_pairs is not None:
+            msz = m.groupBy("block_key").agg(F.count("*").alias("msz"))
+            ok = (
+                esz.join(msz, "block_key")
+                .where(
+                    (F.col("esz") * F.col("msz") <= max_key_pairs)
+                    & (
+                        F.col("esz") <= max_entity_block
+                        if max_entity_block is not None
+                        else F.lit(True)
+                    )
+                )
+                .select("block_key")
+            )
+        else:
+            ok = esz.where(F.col("esz") <= max_entity_block).select("block_key")
         m = m.join(ok, "block_key", "left_semi")
         e = e.join(ok, "block_key", "left_semi")
-    return m.join(e, "block_key").select("a", "b").distinct()
+    if max_candidates_per_mention is None:
+        return m.join(e, "block_key").select("a", "b").distinct()
+    shared = (
+        m.join(e, "block_key")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("n_shared"), "b")
+    return (
+        shared.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= max_candidates_per_mention)
+        .select("a", "b")
+    )

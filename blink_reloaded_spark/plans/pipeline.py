@@ -81,10 +81,12 @@ class LinkagePipeline:
     shingle_k: int = 2
     threshold: float = DEFAULT_THRESHOLD
     max_block: int = 1000
-    # entity-side block purge bound for the KB join (None = off); set by
-    # LinkagePipeline.tuned for large catalogues — see
-    # blocking.mention_entity_candidates
+    # entity-side block purge bound + per-mention candidate budget for the
+    # KB join (None = off); set by LinkagePipeline.tuned for large
+    # catalogues — see blocking.mention_entity_candidates
     max_entity_block: int | None = None
+    max_candidates_per_mention: int | None = None
+    max_key_pairs: int | None = None
     # counter metrics per stage (north_rule). collect_metrics=False skips the
     # per-stage count() actions — use for throughput benchmarking where the
     # extra jobs would dominate small-input wall time.
@@ -100,7 +102,14 @@ class LinkagePipeline:
         the small-catalogue regime. Explicit kwargs override the tuning."""
         params: dict[str, Any] = dict(auto_blocking_params(n_catalogue))
         if n_catalogue >= 20_000:
-            params["max_entity_block"] = 2_000
+            # comparison-level purge (see mention_entity_candidates for the
+            # measured pairs-vs-recall curve) + the reference's top-k bound
+            # (main_dense.py:252 keeps top_k=100 before the cross-encoder;
+            # 16 suffices when ranked by shared-key count: measured at 20k
+            # entities, pairwise F1 0.99998 at top-16 == top-64, 3.8x
+            # cheaper scoring)
+            params["max_key_pairs"] = 50_000
+            params["max_candidates_per_mention"] = 16
         params.update(overrides)
         return cls(spark, **params)
 
@@ -118,6 +127,8 @@ class LinkagePipeline:
                 "threshold": self.threshold,
                 "max_block": self.max_block,
                 "max_entity_block": self.max_entity_block,
+                "max_candidates_per_mention": self.max_candidates_per_mention,
+                "max_key_pairs": self.max_key_pairs,
                 "surfaces": sorted(surfaces) if surfaces else None,
             },
             sort_keys=True,
@@ -238,7 +249,11 @@ class LinkagePipeline:
                 extra_key_cols=["prefix_key"],
             )
             return mention_entity_candidates(
-                mk, ek, max_entity_block=self.max_entity_block
+                mk,
+                ek,
+                max_entity_block=self.max_entity_block,
+                max_candidates_per_mention=self.max_candidates_per_mention,
+                max_key_pairs=self.max_key_pairs,
             )
 
         cands = stage("candidates", build_candidates, inputs=["surfaces"])

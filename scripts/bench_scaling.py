@@ -28,6 +28,7 @@ WORKER = r"""
 import json, os, sys, time
 cpus = sys.argv[1]
 n_convs = int(sys.argv[2]); tpc = int(sys.argv[3]); trials = int(sys.argv[4])
+n_entities = int(sys.argv[5]) if len(sys.argv) > 5 else 200
 os.makedirs("/dev/shm/spark-local", exist_ok=True)
 from pyspark.sql import functions as F
 from blink_reloaded_spark.session import get_spark
@@ -43,7 +44,7 @@ spark.range(int(cpus) * 4).repartition(int(cpus)).select(
     hashed_embedding_udf(F.col("id").cast("string"))
 ).write.format("noop").mode("overwrite").save()
 
-cat = datagen.EntityCatalog.build(n_entities=200)
+cat = datagen.EntityCatalog.build(n_entities=n_entities)
 tr, _ = datagen.generate_transcripts(spark, cat, n_convs=n_convs,
                                      turns_per_conv=tpc, hot_conv_factor=100)
 tr = tr.select("conv_id", "turn_idx", "text").localCheckpoint()
@@ -51,7 +52,8 @@ n_turns = tr.count()
 surfaces = [a["surface"] for a in cat.aliases]
 best = None
 for t in range(trials):
-    pipe = LinkagePipeline(spark, collect_metrics=False)
+    # autotuned blocking + block purging above the small-catalogue regime
+    pipe = LinkagePipeline.tuned(spark, n_entities, collect_metrics=False)
     t0 = time.time()
     clusters = pipe.run(tr, cat.entities_df(spark), surfaces=surfaces)
     clusters.write.format("noop").mode("overwrite").save()
@@ -65,9 +67,10 @@ print(json.dumps(best))
 """
 
 
-def run(cpus: int, n_convs: int, tpc: int, trials: int = 2) -> dict:
+def run(cpus: int, n_convs: int, tpc: int, trials: int = 2, n_entities: int = 200) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), str(n_convs), str(tpc), str(trials)],
+        [sys.executable, "-c", WORKER, str(cpus), str(n_convs), str(tpc),
+         str(trials), str(n_entities)],
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -83,12 +86,14 @@ def main() -> None:
     tpc = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
-    r_lo = run(lo, n_convs, tpc)
-    r_hi = run(hi, n_convs, tpc)
+    n_entities = int(os.environ.get("SPARK_GRAFT_ENTITIES", "200"))
+    r_lo = run(lo, n_convs, tpc, n_entities=n_entities)
+    r_hi = run(hi, n_convs, tpc, n_entities=n_entities)
     speedup = r_lo["wall_sec"] / r_hi["wall_sec"]
     efficiency = speedup / (hi / lo)
     result = {
-        "job": "linkage_pipeline_from_transcripts",
+        "job": f"linkage_pipeline_from_transcripts_{n_entities}ent",
+        "n_entities": n_entities,
         "n_low": r_lo,
         "n_high": r_hi,
         "speedup": round(speedup, 3),
@@ -99,8 +104,20 @@ def main() -> None:
             "workers, best of 2 trials"
         ),
     }
-    with open("BENCH_SCALING.json", "w") as f:
-        json.dump(result, f, indent=1)
+    # merge per-job results so the standard and large-catalogue entries
+    # coexist in one file
+    path = "BENCH_SCALING.json"
+    doc = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            doc = json.load(f)
+        if "jobs" not in doc:
+            doc = {"jobs": {doc.get("job", "previous"): doc}}
+    else:
+        doc = {"jobs": {}}
+    doc["jobs"][result["job"]] = result
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
     print(json.dumps(result, indent=1))
 
 

@@ -85,3 +85,22 @@ def test_turn_text_preserved(spark, fixture):
     rows = tr.orderBy("conv_id", "turn_idx").select("text").limit(50).collect()
     rows2 = tr.orderBy("conv_id", "turn_idx").select("text").limit(50).collect()
     assert [r["text"] for r in rows] == [r["text"] for r in rows2]
+
+
+def test_tuned_pipeline_f1_at_20k_entities(spark):
+    """LinkagePipeline.tuned at a 20k-entity catalogue (autotuned blocking,
+    comparison-level purge, top-16 candidate budget): pairwise F1 must stay
+    >= 0.99 — the bounds may not cost linkage quality. Labeled pairs come
+    from a mention SAMPLE (the 30%-hot surface makes the full self-join
+    quadratic in the hot group)."""
+    cat = datagen.EntityCatalog.build(n_entities=20_000)
+    tr, me = datagen.generate_transcripts(
+        spark, cat, n_convs=800, turns_per_conv=10, hot_conv_factor=10
+    )
+    me = me.localCheckpoint()
+    pipe = LinkagePipeline.tuned(spark, 20_000, collect_metrics=False)
+    assert pipe.max_key_pairs and pipe.max_candidates_per_mention
+    clusters = pipe.run(tr, cat.entities_df(spark), mentions=me).localCheckpoint()
+    sample = me.sample(0.25, seed=7).localCheckpoint()
+    m = pairwise_f1(clusters, _labeled_pairs(sample))
+    assert m["f1"] >= 0.99, m
