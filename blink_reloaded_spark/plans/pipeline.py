@@ -345,6 +345,79 @@ class LinkagePipeline:
             self.metrics["clusters"] = clusters.select("cluster_id").distinct().count()
         return clusters.select("node", F.col("cluster_id").alias("component"))
 
+    def run_links(
+        self,
+        transcripts: DataFrame,
+        entities: DataFrame,
+        surfaces: list[str] | None = None,
+        mentions: DataFrame | None = None,
+    ) -> DataFrame:
+        """Mention -> entity links only: (mention_id, conv_id, turn_idx,
+        entity_id, score). The stage the STREAMING incremental linker
+        appends per micro-batch (streaming/incremental.py): a link is a
+        pure function of the surface text and the (static) catalogue, so
+        the output is batch-partitioning-invariant — unlike run()'s
+        cluster ids (= min mention id per component), which depend on
+        which mentions share a batch. Unlinked (NIL) mentions get
+        entity_id = -1, score null (the reference's no-prediction case).
+        """
+        if mentions is None:
+            assert surfaces is not None, "need surfaces or mentions"
+            mentions = extract_mentions(transcripts, surfaces)
+        m = mentions.select("mention_id", "conv_id", "turn_idx", "mention")
+
+        surf = (
+            m.select(F.col("mention").alias("text"))
+            .distinct()
+            .select(F.xxhash64(F.lit("surf"), "text").alias("id"), "text")
+            .withColumn("vec", hashed_embedding_udf(F.col("text")))
+            .withColumn("prefix_key", _prefix_key("text"))
+            .localCheckpoint()
+        )
+        ent = (
+            entities.select(
+                (F.lit(ENTITY_ID_OFFSET) - F.col("entity_id")).alias("id"),
+                F.lower(F.col("title")).alias("text"),
+            )
+            .withColumn("vec", hashed_embedding_udf(F.col("text")))
+            .withColumn("prefix_key", _prefix_key("text"))
+            .localCheckpoint()
+        )
+        kw = dict(
+            id_col="id", text_col="text", bands=self.bands, rows=self.rows,
+            shingle_k=self.shingle_k, extra_key_cols=["prefix_key"],
+        )
+        cands = mention_entity_candidates(
+            blocking_keys(surf, **kw),
+            blocking_keys(ent, **kw),
+            max_entity_block=self.max_entity_block,
+            max_candidates_per_mention=self.max_candidates_per_mention,
+            max_key_pairs=self.max_key_pairs,
+        )
+        na = surf.select(F.col("id").alias("a"), F.col("text").alias("a_text"), F.col("vec").alias("a_vec"))
+        nb = ent.select(F.col("id").alias("b"), F.col("text").alias("b_text"), F.col("vec").alias("b_vec"))
+        par = self.spark.sparkContext.defaultParallelism
+        scored = score_pairs(
+            cands.join(na, "a").join(nb, "b").repartition(par),
+            a_vec="a_vec", b_vec="b_vec",
+        )
+        best = link_best(scored, self.threshold)
+        surf_link = best.join(
+            surf.select(F.col("id").alias("a"), F.col("text").alias("mention")), "a"
+        ).select(
+            "mention",
+            (F.lit(ENTITY_ID_OFFSET) - F.col("b")).alias("entity_id"),
+            "score",
+        )
+        out = m.join(surf_link, "mention", "left")
+        return out.select(
+            "mention_id",
+            "conv_id",
+            "turn_idx",
+            F.coalesce(F.col("entity_id"), F.lit(-1)).alias("entity_id"),
+            "score",
+        )
+
     def run_kb_free(
         self,
         transcripts: DataFrame,

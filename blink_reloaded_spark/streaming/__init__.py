@@ -9,4 +9,14 @@ For users who want incremental ingest of new transcript partitions, the
 mention-extraction stage is stateless and composes with
 ``spark.readStream.format("parquet")`` + ``foreachBatch`` unchanged — see
 tests/test_streaming_ingest.py for the wiring.
+
+Beyond that, ``streaming/incremental.py`` ships a REAL incremental linker:
+KB links are a pure function of surface + catalogue, so per-micro-batch
+``LinkagePipeline.run_links`` output is batch-partitioning invariant and
+appends safely (cluster identity = entity id); restarts resume from the
+stream source checkpoint. Pinned in tests/test_streaming_incremental.py.
 """
+
+from blink_reloaded_spark.streaming.incremental import incremental_link
+
+__all__ = ["incremental_link"]
