@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, FloatType
+from pyspark.sql.types import ArrayType, DoubleType, FloatType
 
 # Encoder output dim. Unsigned counts (not signed feature-hashing): for
 # short surfaces (~12 trigrams) sign cancellation makes similarity noise —
@@ -75,6 +75,22 @@ def hashed_embedding_udf(texts: pd.Series) -> pd.Series:
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     out = out / np.maximum(norms, 1e-12)
     return pd.Series(list(out))
+
+
+@pandas_udf(DoubleType())
+def dot_product_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized dot product of two fixed-dim array<float> columns
+    (numpy row-wise). The hot-path alternative to `dot_product`: Spark's
+    higher-order aggregate runs INTERPRETED per element, i.e. ~256 virtual
+    calls per pair — measured as the dominant cost of the pair scorer.
+    numpy's pairwise summation can differ from the sequential JVM sum in
+    the last ulp; scores are rounded to 6dp downstream, and the pipeline's
+    determinism contract is per-platform (same input -> same output), which
+    numpy satisfies. Null vectors are not supported (pipeline vectors are
+    always present)."""
+    ma = np.asarray(a.to_list(), dtype=np.float64)
+    mb = np.asarray(b.to_list(), dtype=np.float64)
+    return pd.Series((ma * mb).sum(axis=1))
 
 
 def dot_product(a: Column, b: Column) -> Column:

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from blink_reloaded_spark.functions.embedding import dot_product
+from blink_reloaded_spark.functions.embedding import dot_product_udf
 from blink_reloaded_spark.functions.similarity import (
     jaccard_from_counts,
     jaro_winkler_udf,
@@ -39,9 +39,21 @@ def score_pairs(
     b_text: str = "b_text",
     a_vec: str | None = None,
     b_vec: str | None = None,
+    a_toks: str | None = None,
+    b_toks: str | None = None,
 ) -> DataFrame:
-    """Append feature + `score` columns to a pair DataFrame."""
-    ta, tb = tokens(F.col(a_text)), tokens(F.col(b_text))
+    """Append feature + `score` columns to a pair DataFrame.
+
+    PERF: pass pre-tokenized array columns via `a_toks`/`b_toks` on hot
+    paths — the token features otherwise embed the normalize-regex +
+    split subtree several times PER PAIR (sibling expressions are not
+    CSE'd), and the texts repeat across pairs (tokenize once per distinct
+    surface in the node table, ship the small array through the join).
+    The dot product runs in an Arrow-vectorized pandas UDF; the
+    interpreted JVM aggregate was ~256 virtual calls per pair (see
+    embedding.dot_product_udf)."""
+    ta = F.col(a_toks) if a_toks else tokens(F.col(a_text))
+    tb = F.col(b_toks) if b_toks else tokens(F.col(b_text))
     n_inter = F.size(F.array_intersect(ta, tb))
     overlap = F.round(
         n_inter / F.greatest(F.least(F.size(ta), F.size(tb)), F.lit(1)).cast("double"),
@@ -58,7 +70,10 @@ def score_pairs(
         # and anti-similarity carries no signal for linking
         out = out.withColumn(
             "cos",
-            F.greatest(F.round(dot_product(F.col(a_vec), F.col(b_vec)), 6), F.lit(0.0)),
+            F.greatest(
+                F.round(dot_product_udf(F.col(a_vec), F.col(b_vec)), 6),
+                F.lit(0.0),
+            ),
         )
         score = (
             F.col("jw") * W_JW

@@ -222,7 +222,11 @@ class LinkagePipeline:
                 F.lit(False).alias("is_mention"),
             )
             both = ment_surf.unionByName(ent_surf)
-            return both.withColumn("vec", hashed_embedding_udf(F.col("text")))
+            # tokenize ONCE per distinct surface; the scorer otherwise
+            # re-runs the normalize regex several times per candidate PAIR
+            return both.withColumn(
+                "vec", hashed_embedding_udf(F.col("text"))
+            ).withColumn("tk", tokens(F.col("text")))
 
         surfaces_t = stage("surfaces", build_surfaces, inputs=["mentions", "entities"])
         count_metric("distinct_surfaces", surfaces_t)
@@ -265,11 +269,13 @@ class LinkagePipeline:
                 F.col("id").alias("a"),
                 F.col("text").alias("a_text"),
                 F.col("vec").alias("a_vec"),
+                F.col("tk").alias("a_tk"),
             )
             nb = surfaces_t.select(
                 F.col("id").alias("b"),
                 F.col("text").alias("b_text"),
                 F.col("vec").alias("b_vec"),
+                F.col("tk").alias("b_tk"),
             )
             # salted rebalance before the Arrow scorer: the join output
             # inherits the (possibly skewed) band-key partitioning; pair
@@ -277,7 +283,10 @@ class LinkagePipeline:
             # a hot block evenly over every core (O7 / north_rule salting)
             par = self.spark.sparkContext.defaultParallelism
             enriched = cands.join(na, "a").join(nb, "b").repartition(par)
-            scored = score_pairs(enriched, a_vec="a_vec", b_vec="b_vec")
+            scored = score_pairs(
+                enriched, a_vec="a_vec", b_vec="b_vec",
+                a_toks="a_tk", b_toks="b_tk",
+            )
             best = link_best(scored, self.threshold)
             # carry the surface text so mentions re-attach by text equality
             return best.join(
@@ -371,6 +380,7 @@ class LinkagePipeline:
             .distinct()
             .select(F.xxhash64(F.lit("surf"), "text").alias("id"), "text")
             .withColumn("vec", hashed_embedding_udf(F.col("text")))
+            .withColumn("tk", tokens(F.col("text")))
             .withColumn("prefix_key", _prefix_key("text"))
             .localCheckpoint()
         )
@@ -380,6 +390,7 @@ class LinkagePipeline:
                 F.lower(F.col("title")).alias("text"),
             )
             .withColumn("vec", hashed_embedding_udf(F.col("text")))
+            .withColumn("tk", tokens(F.col("text")))
             .withColumn("prefix_key", _prefix_key("text"))
             .localCheckpoint()
         )
@@ -394,12 +405,14 @@ class LinkagePipeline:
             max_candidates_per_mention=self.max_candidates_per_mention,
             max_key_pairs=self.max_key_pairs,
         )
-        na = surf.select(F.col("id").alias("a"), F.col("text").alias("a_text"), F.col("vec").alias("a_vec"))
-        nb = ent.select(F.col("id").alias("b"), F.col("text").alias("b_text"), F.col("vec").alias("b_vec"))
+        na = surf.select(F.col("id").alias("a"), F.col("text").alias("a_text"),
+                         F.col("vec").alias("a_vec"), F.col("tk").alias("a_tk"))
+        nb = ent.select(F.col("id").alias("b"), F.col("text").alias("b_text"),
+                        F.col("vec").alias("b_vec"), F.col("tk").alias("b_tk"))
         par = self.spark.sparkContext.defaultParallelism
         scored = score_pairs(
             cands.join(na, "a").join(nb, "b").repartition(par),
-            a_vec="a_vec", b_vec="b_vec",
+            a_vec="a_vec", b_vec="b_vec", a_toks="a_tk", b_toks="b_tk",
         )
         best = link_best(scored, self.threshold)
         surf_link = best.join(
@@ -448,6 +461,7 @@ class LinkagePipeline:
             .distinct()
             .select(F.xxhash64(F.lit("surf"), "text").alias("id"), "text")
             .withColumn("vec", hashed_embedding_udf(F.col("text")))
+            .withColumn("tk", tokens(F.col("text")))
             .withColumn("prefix_key", _prefix_key("text"))
             .localCheckpoint()
         )
@@ -461,13 +475,17 @@ class LinkagePipeline:
             extra_key_cols=["prefix_key"],
         )
         pairs = candidate_pairs(keys, max_block=self.max_block)
-        na = surf.select(F.col("id").alias("a"), F.col("text").alias("a_text"), F.col("vec").alias("a_vec"))
-        nb = surf.select(F.col("id").alias("b"), F.col("text").alias("b_text"), F.col("vec").alias("b_vec"))
+        na = surf.select(F.col("id").alias("a"), F.col("text").alias("a_text"),
+                         F.col("vec").alias("a_vec"), F.col("tk").alias("a_tk"))
+        nb = surf.select(F.col("id").alias("b"), F.col("text").alias("b_text"),
+                         F.col("vec").alias("b_vec"), F.col("tk").alias("b_tk"))
         par = self.spark.sparkContext.defaultParallelism
         scored = score_pairs(
             pairs.join(na, "a").join(nb, "b").repartition(par),
             a_vec="a_vec",
             b_vec="b_vec",
+            a_toks="a_tk",
+            b_toks="b_tk",
         )
         edges = match_edges(scored, thr).localCheckpoint()
         comps = connected_components(edges, nodes=surf.select("id"))
