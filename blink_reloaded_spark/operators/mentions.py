@@ -29,23 +29,29 @@ from pyspark.sql.types import (
     StructType,
 )
 
-MENTION_SCHEMA = StructType(
-    [
-        StructField("conv_id", StringType()),
-        StructField("turn_idx", IntegerType()),
-        StructField("start_pos", IntegerType()),
-        StructField("end_pos", IntegerType()),
-        StructField("mention", StringType()),
-        StructField("context_left", StringType()),
-        StructField("context_right", StringType()),
-    ]
-)
+MENTION_BASE = [
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("start_pos", IntegerType()),
+    StructField("end_pos", IntegerType()),
+    StructField("mention", StringType()),
+]
+MENTION_CONTEXT = [
+    StructField("context_left", StringType()),
+    StructField("context_right", StringType()),
+]
+MENTION_SCHEMA = StructType(MENTION_BASE + MENTION_CONTEXT)
+MENTION_SCHEMA_SLIM = StructType(MENTION_BASE)
+
+
+def _schema(with_context: bool) -> StructType:
+    return MENTION_SCHEMA if with_context else MENTION_SCHEMA_SLIM
 
 
 _TOK_RX = re.compile(r"[a-z0-9]+")
 
 
-def _gen_regex(surfaces: list[str]):
+def _gen_regex(surfaces: list[str], with_context: bool = True):
     """Alternation-regex matcher (reference-faithful baseline): leftmost-
     longest via longest-first alternation + word-boundary lookarounds.
     O(|text| x |dict|) per row — kept for the parity test and for
@@ -57,7 +63,7 @@ def _gen_regex(surfaces: list[str]):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rx = re.compile(pattern, re.IGNORECASE)
         for pdf in batches:
-            out: dict[str, list] = {f.name: [] for f in MENTION_SCHEMA.fields}
+            out: dict[str, list] = {f.name: [] for f in _schema(with_context).fields}
             for conv_id, turn_idx, text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"]
             ):
@@ -70,14 +76,15 @@ def _gen_regex(surfaces: list[str]):
                     out["start_pos"].append(m.start())
                     out["end_pos"].append(m.end())
                     out["mention"].append(low[m.start() : m.end()])
-                    out["context_left"].append(low[: m.start()])
-                    out["context_right"].append(low[m.end() :])
+                    if with_context:
+                        out["context_left"].append(low[: m.start()])
+                        out["context_right"].append(low[m.end() :])
             yield pd.DataFrame(out)
 
     return gen
 
 
-def _gen_token(surfaces: list[str]):
+def _gen_token(surfaces: list[str], with_context: bool = True):
     """Token-hash dictionary matcher (the 100TB path): tokenize each turn
     once with a tiny C regex, then match 1..3-token phrases against hash
     sets — O(|tokens|) per row instead of O(|text| x |dict|) (a
@@ -96,7 +103,7 @@ def _gen_token(surfaces: list[str]):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {f.name: [] for f in MENTION_SCHEMA.fields}
+            out: dict[str, list] = {f.name: [] for f in _schema(with_context).fields}
             for conv_id, turn_idx, text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"]
             ):
@@ -125,15 +132,16 @@ def _gen_token(surfaces: list[str]):
                             out["start_pos"].append(start)
                             out["end_pos"].append(end)
                             out["mention"].append(phrase)
-                            out["context_left"].append(low[:start])
-                            out["context_right"].append(low[end:])
+                            if with_context:
+                                out["context_left"].append(low[:start])
+                                out["context_right"].append(low[end:])
                             break
             yield pd.DataFrame(out)
 
     return gen
 
 
-def _gen_token_vec(surfaces: list[str]):
+def _gen_token_vec(surfaces: list[str], with_context: bool = True):
     """Batch-vectorized token-hash matcher — identical semantics to
     `_gen_token` (pinned by tests/test_mentions.py::test_vec_matcher_*),
     with the per-TOKEN Python loop replaced by numpy/pandas over the whole
@@ -169,7 +177,7 @@ def _gen_token_vec(surfaces: list[str]):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {f.name: [] for f in MENTION_SCHEMA.fields}
+            out: dict[str, list] = {f.name: [] for f in _schema(with_context).fields}
             lows = pdf["text"].fillna("").astype(str).str.lower().tolist()
             conv_ids = pdf["conv_id"].tolist()
             turn_idxs = pdf["turn_idx"].tolist()
@@ -239,15 +247,19 @@ def _gen_token_vec(surfaces: list[str]):
                         out["start_pos"].append(s - rs)
                         out["end_pos"].append(e - rs)
                         out["mention"].append(big[s:e])
-                        out["context_left"].append(low[: s - rs])
-                        out["context_right"].append(low[e - rs :])
+                        if with_context:
+                            out["context_left"].append(low[: s - rs])
+                            out["context_right"].append(low[e - rs :])
             yield pd.DataFrame(out)
 
     return gen
 
 
 def extract_mentions(
-    transcripts: DataFrame, surfaces: list[str], impl: str = "token"
+    transcripts: DataFrame,
+    surfaces: list[str],
+    impl: str = "token",
+    with_context: bool = True,
 ) -> DataFrame:
     """Extract dictionary mentions from `transcripts(conv_id, turn_idx, text)`.
 
@@ -272,12 +284,15 @@ def extract_mentions(
     gens = {"token": _gen_token_vec, "token_loop": _gen_token, "regex": _gen_regex}
     if impl in ("token", "token_loop"):
         try:
-            gen = gens[impl](surfaces)
+            gen = gens[impl](surfaces, with_context)
         except ValueError:
-            gen = _gen_regex(surfaces)
+            gen = _gen_regex(surfaces, with_context)
     else:
-        gen = _gen_regex(surfaces)
+        gen = _gen_regex(surfaces, with_context)
 
+    # with_context=False skips materializing the left/right context slices
+    # (each ~the whole turn text, PER MENTION) — the linkage pipeline never
+    # reads them, and they dominate the mentions-stage checkpoint bytes
     cols = transcripts.select("conv_id", "turn_idx", "text")
     # own the parallelism: AQE coalesces small shuffle outputs to very few
     # partitions (optimizing shuffle bytes, not downstream Python CPU) —
@@ -288,7 +303,7 @@ def extract_mentions(
     # the stage time is max-of-N; finer tasks let fast cores steal work
     par = transcripts.sparkSession.sparkContext.defaultParallelism * 3
     cols = cols.repartition(par)
-    mentions = cols.mapInPandas(gen, schema=MENTION_SCHEMA)
+    mentions = cols.mapInPandas(gen, schema=_schema(with_context))
     # stable id from the ordering contract; xxhash64 is collision-safe enough
     # at test scale and avoids a global sort; a monotonic row_number variant
     # is available for strict density (used by datagen gold fixtures).

@@ -187,7 +187,7 @@ class LinkagePipeline:
             if mentions is not None:
                 return mentions
             assert surfaces is not None, "need surfaces or mentions"
-            return extract_mentions(transcripts, surfaces)
+            return extract_mentions(transcripts, surfaces, with_context=False)
 
         m = stage("mentions", build_mentions, inputs=["transcripts"])
         count_metric("mentions", m)
@@ -260,7 +260,15 @@ class LinkagePipeline:
                 max_key_pairs=self.max_key_pairs,
             )
 
-        cands = stage("candidates", build_candidates, inputs=["surfaces"])
+        # candidates has exactly ONE consumer (the scorer join) — with
+        # metrics off and no checkpoint store, materializing it is a pure
+        # extra barrier (the metric count() is the second consumer otherwise)
+        cands = stage(
+            "candidates",
+            build_candidates,
+            materialize=self.collect_metrics,
+            inputs=["surfaces"],
+        )
         count_metric("candidate_pairs", cands)
 
         # -- 4. scoring + argmax link (surface level) ---------------------------
@@ -372,7 +380,7 @@ class LinkagePipeline:
         """
         if mentions is None:
             assert surfaces is not None, "need surfaces or mentions"
-            mentions = extract_mentions(transcripts, surfaces)
+            mentions = extract_mentions(transcripts, surfaces, with_context=False)
         m = mentions.select("mention_id", "conv_id", "turn_idx", "mention")
 
         surf = (
@@ -452,7 +460,7 @@ class LinkagePipeline:
 
         if mentions is None:
             assert surfaces is not None, "need surfaces or mentions"
-            mentions = extract_mentions(transcripts, surfaces)
+            mentions = extract_mentions(transcripts, surfaces, with_context=False)
         m = mentions.localCheckpoint() if self.checkpoint_dir is None else mentions
         m_slim = m.select("mention_id", "mention")
 

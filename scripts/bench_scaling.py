@@ -67,7 +67,7 @@ print(json.dumps(best))
 """
 
 
-def run(cpus: int, n_convs: int, tpc: int, trials: int = 2, n_entities: int = 200) -> dict:
+def run(cpus: int, n_convs: int, tpc: int, trials: int = 3, n_entities: int = 200) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(cpus), str(n_convs), str(tpc),
          str(trials), str(n_entities)],
@@ -101,7 +101,7 @@ def main() -> None:
         "note": (
             f"sandbox proxy for N->4N executors: local[{lo}] vs local[{hi}], "
             "same input, fresh JVM per level, tmpfs shuffle dir, warmed UDF "
-            "workers, best of 2 trials"
+            "workers, best of 3 trials"
         ),
     }
     # merge per-job results so the standard and large-catalogue entries
