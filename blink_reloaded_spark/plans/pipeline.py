@@ -331,26 +331,36 @@ class LinkagePipeline:
                 ),
                 "node",
             ).select("mention", "component")
-            # no explicit broadcast hints: surf_comp/cmin scale with distinct
-            # LINKED surfaces — small here, but unbounded at 10^12 turns; an
-            # explicit hint would bypass the autoBroadcast size threshold and
-            # OOM the driver where AQE would correctly pick a shuffle join
-            ml = m_slim.join(surf_comp, "mention", "left")
-            linked = ml.where(F.col("component").isNotNull())
-            cmin = linked.groupBy("component").agg(
-                F.min("mention_id").alias("cluster_id")
+            # cluster_id = min mention id per component, computed WITHOUT a
+            # second pass over the mention set: min-per-component = min over
+            # the component's surfaces of min-per-surface. One map-side-agg
+            # groupBy over mentions (skew-immune: the hottest surface
+            # reduces locally) + all-surface-level arithmetic + ONE final
+            # join back. The round-1 shape made three mention-set passes
+            # (join, groupBy(component), join) plus a union.
+            msurf_min = m_slim.groupBy("mention").agg(
+                F.min("mention_id").alias("surf_min")
             )
-            linked_out = linked.join(cmin, "component").select(
-                F.col("mention_id").alias("node"), "cluster_id"
+            cmin = (
+                surf_comp.join(msurf_min, "mention")
+                .groupBy("component")
+                .agg(F.min("surf_min").alias("cluster_id"))
+            )
+            # surface -> cluster map (distinct-surface cardinality, small
+            # relative to mentions; no explicit broadcast hint — unbounded
+            # at 10^12 turns, AQE picks the strategy within the threshold)
+            surf_cluster = surf_comp.join(cmin, "component").select(
+                "mention", "cluster_id"
             )
             # NB: entity-anchor components never leak in: component ids are
-            # remapped to min *mention* id above; unlinked mentions are
-            # singletons
-            single_out = ml.where(F.col("component").isNull()).select(
+            # remapped to min *mention* id above; mentions of unlinked
+            # surfaces coalesce to themselves (FIXTURES F5 singletons)
+            return m_slim.join(surf_cluster, "mention", "left").select(
                 F.col("mention_id").alias("node"),
-                F.col("mention_id").alias("cluster_id"),
+                F.coalesce(F.col("cluster_id"), F.col("mention_id")).alias(
+                    "cluster_id"
+                ),
             )
-            return linked_out.unionByName(single_out)
 
         clusters = stage(
             "clusters",
