@@ -51,3 +51,58 @@ def test_minhash_sql_monotone_under_identity(s: str):
     v1 = _con.execute(q, [s]).fetchone()
     v2 = _con.execute(q, [s]).fetchone()
     assert v1 == v2
+
+
+# ---------------------------------------------------------------------------
+# matcher-implementation parity: vec == loop == regex on random inputs
+# ---------------------------------------------------------------------------
+
+_WORDS = ["a", "ab", "abc", "b", "bc", "c", "x9", "zz", "q", "longword"]
+
+
+@st.composite
+def _dict_and_texts(draw):
+    n_surf = draw(st.integers(1, 8))
+    surfaces = []
+    for _ in range(n_surf):
+        n_tok = draw(st.integers(1, 3))
+        surfaces.append(" ".join(draw(st.sampled_from(_WORDS)) for _ in range(n_tok)))
+    n_rows = draw(st.integers(1, 8))
+    texts = []
+    for _ in range(n_rows):
+        n = draw(st.integers(0, 12))
+        seps = st.sampled_from([" ", "  ", "-", ", ", " . ", "\t", "é"])
+        parts = []
+        for _ in range(n):
+            parts.append(draw(st.sampled_from(_WORDS + ["ACME", "über", ""])))
+            parts.append(draw(seps))
+        texts.append("".join(parts))
+    return surfaces, texts
+
+
+@given(_dict_and_texts())
+@settings(max_examples=300, deadline=None)
+def test_matcher_impl_parity_property(case):
+    import pandas as pd
+
+    from blink_reloaded_spark.operators.mentions import (
+        _gen_regex,
+        _gen_token,
+        _gen_token_vec,
+    )
+
+    surfaces, texts = case
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i % 3}" for i in range(len(texts))],
+            "turn_idx": list(range(len(texts))),
+            "text": texts,
+        }
+    )
+
+    def run(factory):
+        out = pd.concat(list(factory(surfaces)(iter([pdf]))), ignore_index=True)
+        return sorted(map(tuple, out.itertuples(index=False)))
+
+    vec, loop, rx = run(_gen_token_vec), run(_gen_token), run(_gen_regex)
+    assert vec == loop == rx
