@@ -33,18 +33,21 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
     mins = mins.withColumn("m", F.least("mn", "src")).drop("mn")
-    return (
+    out = (
         sym.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
+    # dedup=False when composed with _small_star, whose _canonical starts
+    # with its own orient+distinct — the trailing distinct here would be a
+    # redundant extra shuffle every round
+    return out.distinct() if dedup else out
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -135,7 +138,7 @@ def _cc_loop(e: DataFrame, nodes: DataFrame | None, max_iter: int) -> DataFrame:
         # localCheckpoint every round: cuts lineage AND materializes, so the
         # next round never re-executes this one (the checksum alone would
         # evaluate but not persist)
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e, dedup=False)).localCheckpoint()
         cur = _checksum(e)
         if cur == prev:
             break
