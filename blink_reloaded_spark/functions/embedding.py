@@ -87,10 +87,13 @@ def dot_product_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     the last ulp; scores are rounded to 6dp downstream, and the pipeline's
     determinism contract is per-platform (same input -> same output), which
     numpy satisfies. Null vectors are not supported (pipeline vectors are
-    always present)."""
-    ma = np.asarray(a.to_list(), dtype=np.float64)
-    mb = np.asarray(b.to_list(), dtype=np.float64)
-    return pd.Series((ma * mb).sum(axis=1))
+    always present); ragged batches raise a clear shape error from the
+    reshape below rather than a misleading AxisError (ADVICE r2)."""
+    if len(a) == 0:
+        return pd.Series([], dtype=float)
+    ma = np.asarray(a.to_list(), dtype=np.float64).reshape(len(a), -1)
+    mb = np.asarray(b.to_list(), dtype=np.float64).reshape(len(b), -1)
+    return pd.Series(np.einsum("ij,ij->i", ma, mb))
 
 
 def dot_product(a: Column, b: Column) -> Column:

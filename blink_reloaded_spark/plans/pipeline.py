@@ -49,7 +49,7 @@ from blink_reloaded_spark.operators.mentions import extract_mentions
 from blink_reloaded_spark.operators.scoring import (
     DEFAULT_THRESHOLD,
     link_best,
-    score_pairs,
+    two_phase_scored_pairs,
 )
 from blink_reloaded_spark.sources.checkpoint import CheckpointManager
 
@@ -273,27 +273,22 @@ class LinkagePipeline:
 
         # -- 4. scoring + argmax link (surface level) ---------------------------
         def build_links() -> DataFrame:
-            na = surfaces_t.select(
-                F.col("id").alias("a"),
-                F.col("text").alias("a_text"),
-                F.col("vec").alias("a_vec"),
-                F.col("tk").alias("a_tk"),
-            )
-            nb = surfaces_t.select(
-                F.col("id").alias("b"),
-                F.col("text").alias("b_text"),
-                F.col("vec").alias("b_vec"),
-                F.col("tk").alias("b_tk"),
-            )
-            # salted rebalance before the Arrow scorer: the join output
-            # inherits the (possibly skewed) band-key partitioning; pair
-            # rows are independent, so a synthetic-key repartition spreads
-            # a hot block evenly over every core (O7 / north_rule salting)
+            # two-phase scorer (VERDICT r2 #1): cheap text features on every
+            # candidate pair (texts ~100B/row through the shuffle), a
+            # provably-lossless prune from the cos-weight bound, and the
+            # 256-float vectors joined BY ID only for the few survivors —
+            # the old plan shipped ~2KB of vectors per pair, the measured
+            # large-catalogue scale-killer. The repartition before the
+            # feature UDFs is the salted rebalance (O7 / north_rule): pair
+            # rows are independent, so a synthetic-key repartition spreads a
+            # hot block evenly over every core.
             par = self.spark.sparkContext.defaultParallelism
-            enriched = cands.join(na, "a").join(nb, "b").repartition(par)
-            scored = score_pairs(
-                enriched, a_vec="a_vec", b_vec="b_vec",
-                a_toks="a_tk", b_toks="b_tk",
+            scored = two_phase_scored_pairs(
+                cands,
+                surfaces_t,
+                threshold=self.threshold,
+                argmax_prune=True,
+                repartition_to=par,
             )
             best = link_best(scored, self.threshold)
             # carry the surface text so mentions re-attach by text equality
@@ -423,14 +418,12 @@ class LinkagePipeline:
             max_candidates_per_mention=self.max_candidates_per_mention,
             max_key_pairs=self.max_key_pairs,
         )
-        na = surf.select(F.col("id").alias("a"), F.col("text").alias("a_text"),
-                         F.col("vec").alias("a_vec"), F.col("tk").alias("a_tk"))
-        nb = ent.select(F.col("id").alias("b"), F.col("text").alias("b_text"),
-                        F.col("vec").alias("b_vec"), F.col("tk").alias("b_tk"))
+        # same two-phase pruned scorer as run() — vectors join by id only
+        # for cheap-score survivors, never through the pair shuffle
         par = self.spark.sparkContext.defaultParallelism
-        scored = score_pairs(
-            cands.join(na, "a").join(nb, "b").repartition(par),
-            a_vec="a_vec", b_vec="b_vec", a_toks="a_tk", b_toks="b_tk",
+        scored = two_phase_scored_pairs(
+            cands, surf, ent,
+            threshold=self.threshold, argmax_prune=True, repartition_to=par,
         )
         best = link_best(scored, self.threshold)
         surf_link = best.join(
@@ -493,17 +486,14 @@ class LinkagePipeline:
             extra_key_cols=["prefix_key"],
         )
         pairs = candidate_pairs(keys, max_block=self.max_block)
-        na = surf.select(F.col("id").alias("a"), F.col("text").alias("a_text"),
-                         F.col("vec").alias("a_vec"), F.col("tk").alias("a_tk"))
-        nb = surf.select(F.col("id").alias("b"), F.col("text").alias("b_text"),
-                         F.col("vec").alias("b_vec"), F.col("tk").alias("b_tk"))
+        # argmax_prune=False: match_edges consumes the FULL accepted-edge
+        # set, so only the threshold-bound prune is lossless here (the
+        # argmax bound would drop threshold-passing non-best edges and
+        # change the transitive closure)
         par = self.spark.sparkContext.defaultParallelism
-        scored = score_pairs(
-            pairs.join(na, "a").join(nb, "b").repartition(par),
-            a_vec="a_vec",
-            b_vec="b_vec",
-            a_toks="a_tk",
-            b_toks="b_tk",
+        scored = two_phase_scored_pairs(
+            pairs, surf,
+            threshold=thr, argmax_prune=False, repartition_to=par,
         )
         edges = match_edges(scored, thr).localCheckpoint()
         comps = connected_components(edges, nodes=surf.select("id"))
