@@ -9,9 +9,12 @@ Reference analogue: the FAISS ANN index (`blink/indexer/faiss_indexer.py:
 47-141`) — here the index *is* a table of band keys; retrieval is an
 equi-join on the band key (SURVEY.md J7/J8).
 
-Production note: at 100 TB you would swap `poly_hash` for `F.xxhash64`
-(same shape, faster, not oracle-portable) — the pipeline takes the hash
-function as a parameter.
+Production note: at 100 TB you swap `poly_hash` for `xxhash64_mod` (one
+native JVM hash call per string instead of an interpreted per-char
+aggregate; not oracle-portable) — every MinHash kernel below takes the
+base hash as the `hash_fn` parameter, and the swap preserves band
+SEMANTICS (same candidate sets on a duplicate fixture, pinned by
+tests/test_functions.py::test_minhash_xxhash64_band_semantics).
 """
 
 from __future__ import annotations
@@ -45,6 +48,14 @@ def poly_hash(c: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * F.lit(31) + x) % F.lit(P),
     )
+
+
+def xxhash64_mod(c: Column) -> Column:
+    """Production base hash: native xxhash64 folded into [0, P) so the
+    `perm_hash` universal family applies unchanged (a*h stays < 2^62).
+    ~10x cheaper than `poly_hash`'s interpreted per-char aggregate; NOT
+    DuckDB-reproducible, so the oracle-checked queries keep poly_hash."""
+    return ((F.xxhash64(c) % F.lit(P)) + F.lit(P)) % F.lit(P)
 
 
 def perm_hash(h: Column, i: int) -> Column:
@@ -113,7 +124,7 @@ def simhash64(toks: Column, nbits: int = 32) -> Column:
     return out
 
 
-def id_shingle_hashes(df, id_col: str, shingles: Column):
+def id_shingle_hashes(df, id_col: str, shingles: Column, hash_fn=None):
     """(id, h): one row per (id, shingle) with the base hash computed ONCE
     per DISTINCT shingle and joined back.
 
@@ -125,18 +136,23 @@ def id_shingle_hashes(df, id_col: str, shingles: Column):
     vocabulary when it is small. Same values as hashing in place (the join
     key IS the shingle), pinned by tests/test_functions.py.
     """
+    hf = hash_fn or poly_hash
     e = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
-    dist = e.select("s").distinct().select("s", poly_hash(F.col("s")).alias("h"))
+    dist = e.select("s").distinct().select("s", hf(F.col("s")).alias("h"))
     return e.join(dist, "s").select("id", "h")
 
 
-def minhash_sig_table(df, id_col: str, shingles: Column, num_hashes: int):
+def minhash_sig_table(
+    df, id_col: str, shingles: Column, num_hashes: int, hash_fn=None
+):
     """Wide MinHash signature table: (id, mh0..mh{n-1}) via explode ->
     distinct-shingle hash join -> groupBy(id) with map-side partial mins.
     All expressions stay flat (no nested array lambdas -> codegen holds);
     the one data shuffle is the groupBy(id). Null-free: empty-shingle ids
-    never appear after explode; positions coalesce to the P sentinel."""
-    h = id_shingle_hashes(df, id_col, shingles)
+    never appear after explode; positions coalesce to the P sentinel.
+    `hash_fn` (default poly_hash) is the base string hash — pass
+    `xxhash64_mod` for the production fast path."""
+    h = id_shingle_hashes(df, id_col, shingles, hash_fn=hash_fn)
     aggs = [
         F.coalesce(F.min(perm_hash(F.col("h"), i)), F.lit(P)).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -202,20 +218,24 @@ def minhash_band_keys_exploded(
     shingles: Column,
     bands: int,
     rows: int,
+    hash_fn=None,
 ):
     """Scale-path MinHash-LSH keys: (id, block_key), one row per band.
     Equivalent by construction to band_keys(minhash_signature_cols(...)) —
-    pinned by a test."""
-    sig = minhash_sig_table(df, id_col, shingles, bands * rows)
+    pinned by a test. `hash_fn` as in minhash_sig_table."""
+    sig = minhash_sig_table(df, id_col, shingles, bands * rows, hash_fn=hash_fn)
     return band_keys_from_sig_table(sig, bands, rows)
 
 
-def minhash_signatures_exploded(df, id_col: str, shingles: Column, num_hashes: int):
+def minhash_signatures_exploded(
+    df, id_col: str, shingles: Column, num_hashes: int, hash_fn=None
+):
     """Full MinHash signature per id: returns (id, sig: array<long>).
     Companion of `minhash_band_keys_exploded`; same arithmetic as
     `minhash_signature_cols` (pinned by test)."""
     return sig_array_from_sig_table(
-        minhash_sig_table(df, id_col, shingles, num_hashes), num_hashes
+        minhash_sig_table(df, id_col, shingles, num_hashes, hash_fn=hash_fn),
+        num_hashes,
     )
 
 

@@ -43,59 +43,67 @@ def jaccard_from_counts(n_inter: Column, n_a: Column, n_b: Column) -> Column:
 
 
 def _to_codes(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Pad a string series into a [B, MAX_LEN] uint32 code matrix + lengths."""
+    """Pad a string series into a [B, W] uint32 code matrix + lengths, with
+    W = the BATCH's max length (<= MAX_LEN), not the global cap: every
+    downstream matrix op in the JW kernel is O(B*W), and surface strings
+    are ~10-25 chars, so working at the data's width instead of 64 is a
+    ~3x constant-factor win on the hottest UDF in the engine."""
     vals = s.fillna("").astype(str).str.slice(0, MAX_LEN)
     lens = vals.str.len().to_numpy(dtype=np.int64)
     b = len(vals)
-    mat = np.zeros((b, MAX_LEN), dtype=np.uint32)
+    width = max(int(lens.max(initial=0)), 1)
     # one vectorized pass: join, then view as a single code array
     joined = "\x00".join(vals.tolist())
-    if joined:
-        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
-        pos = 0
-        # row starts are fully determined by lens; fill via fancy indexing
-        starts = np.zeros(b, dtype=np.int64)
-        np.cumsum(lens[:-1] + 1, out=starts[1:])
-        col_idx = np.arange(MAX_LEN)
-        take = starts[:, None] + col_idx[None, :]
-        valid = col_idx[None, :] < lens[:, None]
-        flat = np.zeros(b * MAX_LEN, dtype=np.uint32)
-        flat_idx = np.where(valid.ravel(), take.ravel(), 0)
-        flat = codes[np.minimum(flat_idx, len(codes) - 1)]
-        mat = np.where(valid, flat.reshape(b, MAX_LEN), 0)
-        del pos
-    return mat, lens
+    if not joined:
+        return np.zeros((b, width), dtype=np.uint32), lens
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    # row starts are fully determined by lens; fill via fancy indexing
+    starts = np.zeros(b, dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=starts[1:])
+    col_idx = np.arange(width)
+    take = starts[:, None] + col_idx[None, :]
+    valid = col_idx[None, :] < lens[:, None]
+    flat_idx = np.where(valid.ravel(), take.ravel(), 0)
+    flat = codes[np.minimum(flat_idx, len(codes) - 1)]
+    return np.where(valid, flat.reshape(b, width), 0), lens
 
 
 def jaro_winkler_np(sa: pd.Series, sb: pd.Series) -> np.ndarray:
-    """Vectorized Jaro-Winkler over a batch of string pairs."""
+    """Vectorized Jaro-Winkler over a batch of string pairs. The loop is
+    over character POSITIONS (<= the batch's max length), every step a
+    whole-batch numpy op — no per-row Python. All working matrices are
+    sized to the batch width W, not the 64-char cap (see _to_codes)."""
     a, la = _to_codes(sa)
     b, lb = _to_codes(sb)
     B = a.shape[0]
     if B == 0:
         return np.zeros(0, dtype=np.float64)
+    # common width: pad the narrower matrix (cheap; both <= MAX_LEN)
+    W = max(a.shape[1], b.shape[1])
+    if a.shape[1] < W:
+        a = np.pad(a, ((0, 0), (0, W - a.shape[1])))
+    if b.shape[1] < W:
+        b = np.pad(b, ((0, 0), (0, W - b.shape[1])))
     lmax = np.maximum(la, lb)
     # match window: chars equal and |i-j| <= max(lmax/2 - 1, 0)
-    window = np.maximum(lmax // 2 - 1, 0)
+    window = np.maximum(lmax // 2 - 1, 0)[:, None]
 
-    used_b = np.zeros((B, MAX_LEN), dtype=bool)
-    match_j = np.full((B, MAX_LEN), -1, dtype=np.int64)
-    j_idx = np.arange(MAX_LEN)[None, :]
-    valid_b = j_idx < lb[:, None]
-    for i in range(MAX_LEN):
-        active = i < la
-        if not active.any():
-            break
+    j_idx = np.arange(W)[None, :]
+    # avail = valid-and-unused b positions; padding cols start unavailable,
+    # so a's 0-padding can never match (real codes are >= 1) and the
+    # explicit used/valid/nonzero masks of the old kernel collapse into one
+    avail = j_idx < lb[:, None]
+    used_b = np.zeros((B, W), dtype=bool)
+    matched_i = np.zeros((B, W), dtype=bool)
+    for i in range(int(la.max(initial=0))):
         ai = a[:, i][:, None]  # [B,1]
-        in_window = np.abs(j_idx - i) <= window[:, None]
-        cand = (b == ai) & in_window & ~used_b & valid_b & (ai != 0)
-        has = cand.any(axis=1)
+        cand = (b == ai) & avail & (np.abs(j_idx - i) <= window)
+        take = cand.any(axis=1)
         j = np.argmax(cand, axis=1)
-        take = has & active
-        match_j[take, i] = j[take]
+        matched_i[take, i] = True
         used_b[take, j[take]] = True
+        avail[take, j[take]] = False
 
-    matched_i = match_j >= 0
     m = matched_i.sum(axis=1).astype(np.float64)
 
     # transpositions: a's matched chars in i-order vs b's matched chars in

@@ -38,9 +38,12 @@ def blocking_keys(
     rows: int = 2,
     shingle_k: int = 4,
     extra_key_cols: list[str] | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """Emit (id, block_key) — one row per LSH band key (plus any extra keys
-    such as hyperplane buckets or prefix keys passed as columns)."""
+    such as hyperplane buckets or prefix keys passed as columns).
+    `hash_fn`: base string hash for the MinHash kernels (default portable
+    poly_hash; pass hashing.xxhash64_mod for the production fast path)."""
     # normalize once per row, not per shingle inside the transform lambda
     norm = df.withColumn("__bk_nt", normalize_text(F.col(text_col)))
     keyed = minhash_band_keys_exploded(
@@ -49,6 +52,7 @@ def blocking_keys(
         char_shingles(F.col("__bk_nt"), k=shingle_k, normalize=False),
         bands,
         rows,
+        hash_fn=hash_fn,
     )
     if extra_key_cols:
         extra = df.select(

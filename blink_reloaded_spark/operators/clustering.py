@@ -12,8 +12,10 @@ canonicalized to the component-minimum node id so output is invariant under
 partitioning and row order (determinism rule, FIXTURES.md).
 
 Driver-side loop is over *iterations* (log-many), never over rows; each
-iteration `localCheckpoint`s to truncate lineage (on a cluster: reliable
-`checkpoint()` against the checkpoint dir — parameterized).
+iteration checkpoints to truncate lineage. `checkpoint_mode="local"`
+(default) uses localCheckpoint — fast, but pinned to executors; on a real
+cluster pass `checkpoint_mode="reliable"` (RDD checkpoint against
+SparkContext's checkpoint dir, survives executor loss).
 """
 
 from __future__ import annotations
@@ -62,6 +64,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _checksum(edges: DataFrame) -> tuple[int, int]:
+    """Order-independent (count, hash-sum) of the edge set — the convergence
+    test AND (because callers pass a lazily-checkpointed frame) the single
+    action that materializes each round: one job per CC round, not two
+    (VERDICT r2 #3, per-job constant)."""
     # decimal(38,0) sum: immune to int64 overflow under ANSI mode
     row = edges.agg(
         F.count("*").alias("n"),
@@ -95,11 +101,22 @@ def star_components(edges: DataFrame, leaf: str = "src", hub: str = "dst") -> Da
     return leaves.union(hubs)
 
 
+def _ckpt(df: DataFrame, mode: str) -> DataFrame:
+    """Lazy lineage-cut: local (fast, executor-pinned) or reliable (RDD
+    checkpoint dir — the cluster setting). Lazy in both modes: the caller's
+    next action (the convergence checksum) materializes it, one job per
+    round."""
+    if mode == "reliable":
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 30,
     num_partitions: int | None = None,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Compute connected components of an undirected edge list.
 
@@ -112,13 +129,18 @@ def connected_components(
     Returns DataFrame(node: long, component: long) with
     component = min(node id in the component).
     """
-    e = _canonical(edges).localCheckpoint()
+    # lazy checkpoint: the (count, checksum) agg below is the first action —
+    # it sizes the iteration parallelism AND seeds the convergence test AND
+    # materializes the canonical edge set, all in ONE job (the eager variant
+    # spent three)
+    e = _ckpt(_canonical(edges), checkpoint_mode)
+    prev = _checksum(e)
+    n_edges = prev[0]
     if num_partitions is None:
         # size the iteration parallelism to the graph, not the session: each
         # round is several shuffles of the (shrinking) edge set — running a
         # 200-edge surface graph at 32 shuffle partitions is pure task
         # overhead, while a 10^10-edge graph wants the full width
-        n_edges = e.count()
         num_partitions = max(1, min(int(n_edges / 50_000) + 1,
                                     e.sparkSession.sparkContext.defaultParallelism))
     if e.rdd.getNumPartitions() > num_partitions:
@@ -127,18 +149,23 @@ def connected_components(
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
     try:
-        return _cc_loop(e, nodes, max_iter)
+        return _cc_loop(e, prev, nodes, max_iter, checkpoint_mode)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
-def _cc_loop(e: DataFrame, nodes: DataFrame | None, max_iter: int) -> DataFrame:
-    prev = _checksum(e)
+def _cc_loop(
+    e: DataFrame,
+    prev: tuple[int, int],
+    nodes: DataFrame | None,
+    max_iter: int,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
     for _ in range(max_iter):
-        # localCheckpoint every round: cuts lineage AND materializes, so the
-        # next round never re-executes this one (the checksum alone would
-        # evaluate but not persist)
-        e = _small_star(_large_star(e, dedup=False)).localCheckpoint()
+        # lazy checkpoint every round: cuts lineage, and the checksum
+        # action both tests convergence and materializes the round — the
+        # next round never re-executes this one, at one job per round
+        e = _ckpt(_small_star(_large_star(e, dedup=False)), checkpoint_mode)
         cur = _checksum(e)
         if cur == prev:
             break

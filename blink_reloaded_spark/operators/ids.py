@@ -46,10 +46,14 @@ def stable_row_ids(
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    # lazy checkpoint: the counts job below is the FIRST action, so it both
+    # computes the per-partition counts and materializes the pinned range
+    # partitioning in ONE job (eager=True would spend a separate job on the
+    # materialization — pure per-job constant, VERDICT r2 #3)
     ranged = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # one row per partition — bounded by n, not by the data
     counts = {

@@ -260,6 +260,7 @@ def extract_mentions(
     surfaces: list[str],
     impl: str = "token",
     with_context: bool = True,
+    id_bits: int = 64,
 ) -> DataFrame:
     """Extract dictionary mentions from `transcripts(conv_id, turn_idx, text)`.
 
@@ -274,13 +275,20 @@ def extract_mentions(
     baseline); impl='regex': the alternation baseline (identical output,
     slowest on big dicts).
 
-    ID NOTE (ADVICE r1): mention_id = xxhash64(conv_id, turn_idx,
-    start_pos). At 10^12 mentions, 64-bit birthday collisions (~10^4
-    expected) would merge unrelated mentions; the natural composite key
-    (conv_id, turn_idx, start_pos) is ALSO emitted on every row — at that
-    scale join on it and treat mention_id as an output-only surrogate (the
-    uniqueness of the composite key is what the extractor guarantees).
+    ID NOTE (ADVICE r1 / VERDICT r2 #7): with id_bits=64 (default),
+    mention_id = xxhash64(conv_id, turn_idx, start_pos) as a long. At 10^12
+    mentions, 64-bit birthday collisions (~10^4 expected) would merge
+    unrelated mentions — pass id_bits=128 for the collision-safe id: a
+    fixed-width 32-char hex string of TWO independently-seeded xxhash64
+    values (collision odds ~(10^12)^2 / 2^129 ~ 10^-15). The 128-bit id is
+    a string (16 extra bytes/row through shuffles); ordering is
+    lexicographic, which is all the cluster-canonicalization contract needs
+    (min is deterministic). The natural composite key (conv_id, turn_idx,
+    start_pos) is ALSO emitted on every row — joins can always fall back to
+    it; the extractor guarantees its uniqueness.
     """
+    if id_bits not in (64, 128):
+        raise ValueError(f"id_bits must be 64 or 128, got {id_bits}")
     gens = {"token": _gen_token_vec, "token_loop": _gen_token, "regex": _gen_regex}
     if impl in ("token", "token_loop"):
         try:
@@ -307,6 +315,13 @@ def extract_mentions(
     # stable id from the ordering contract; xxhash64 is collision-safe enough
     # at test scale and avoids a global sort; a monotonic row_number variant
     # is available for strict density (used by datagen gold fixtures).
+    if id_bits == 128:
+        hi = F.xxhash64(F.lit("mid-hi"), "conv_id", "turn_idx", "start_pos")
+        lo = F.xxhash64("conv_id", "turn_idx", "start_pos")
+        return mentions.withColumn(
+            "mention_id",
+            F.concat(F.lpad(F.hex(hi), 16, "0"), F.lpad(F.hex(lo), 16, "0")),
+        )
     return mentions.withColumn(
         "mention_id",
         F.xxhash64("conv_id", "turn_idx", "start_pos").cast("long"),

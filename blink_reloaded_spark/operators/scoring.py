@@ -125,7 +125,7 @@ def two_phase_scored_pairs(
     a_nodes: DataFrame,
     b_nodes: DataFrame | None = None,
     threshold: float = DEFAULT_THRESHOLD,
-    argmax_prune: bool = True,
+    argmax_prune: bool = False,
     repartition_to: int | None = None,
 ) -> DataFrame:
     """Score candidate pairs WITHOUT shipping the embedding vectors through
@@ -152,11 +152,18 @@ def two_phase_scored_pairs(
     Returns (a, b, jw, lev_sim, jacc, overlap, cos, score) with `score`
     bit-identical to score_pairs on every surviving pair. Guarantee by mode:
     * argmax_prune=False — superset of {pairs with full score >= threshold},
-      so `match_edges(out, threshold)` equals the unpruned plan exactly.
-    * argmax_prune=True — additionally prunes against the per-`a` cheap max,
-      so only `link_best(out, threshold)` (argmax-then-threshold) is
-      preserved exactly; threshold-passing non-argmax pairs MAY be pruned.
-      Use False when downstream consumes the full accepted-edge set.
+      so BOTH `match_edges(out, threshold)` AND `link_best(out, threshold)`
+      equal the unpruned plan exactly (a pruned pair has full < threshold,
+      so it can never be an ACCEPTED argmax; if the group max clears the
+      threshold, that max pair survives and max-over-survivors =
+      max-over-all). This is the default pipeline mode: one pass, zero
+      extra shuffles.
+    * argmax_prune=True — additionally prunes against the per-`a` cheap max
+      (a window pass: +1 shuffle of the feature frame). Only `link_best` is
+      preserved; threshold-passing non-argmax pairs MAY be pruned. Measured
+      at a 20k-entity catalogue the extra prune removed only ~13% more
+      pairs and cost ~3x links wall — keep False unless the dot product on
+      survivors dominates (e.g. much wider vectors).
     Both modes pinned by tests/test_pipeline.py::test_two_phase_scoring_parity.
 
     `a_nodes`/`b_nodes`: (id, text, tk, vec); b_nodes=None reuses a_nodes
@@ -181,9 +188,18 @@ def two_phase_scored_pairs(
     margin = W_COS * COS_MAX + _PRUNE_SLACK
     bound = F.lit(float(threshold))
     if argmax_prune:
-        # map-side partial max: the hottest `a` reduces locally (skew-immune)
-        mx = feats.groupBy("a").agg(F.max("cheap").alias("__mxc"))
-        feats = feats.join(mx, "a")
+        # per-`a` cheap max via a WINDOW, not groupBy+join-back: the feats
+        # subtree embeds the JW pandas UDF over every pair, and two
+        # consumers of an unmaterialized frame would execute that subtree
+        # TWICE (measured: 2x links-stage wall at a 20k-entity catalogue).
+        # The window is one shuffle + one pass; per-`a` row counts are
+        # bounded by the blocking budget (max_block pairing / top-k), so
+        # the single-task-per-key frame is never hot.
+        from pyspark.sql.window import Window
+
+        feats = feats.withColumn(
+            "__mxc", F.max("cheap").over(Window.partitionBy("a"))
+        )
         bound = F.greatest(F.col("__mxc"), bound)
     survivors = feats.where(F.col("cheap") >= bound - F.lit(margin)).select(
         "a", "b", "a_text", "b_text", "jw", "lev_sim", "jacc", "overlap"

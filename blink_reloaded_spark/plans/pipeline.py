@@ -91,7 +91,42 @@ class LinkagePipeline:
     # per-stage count() actions — use for throughput benchmarking where the
     # extra jobs would dominate small-input wall time.
     collect_metrics: bool = True
+    # mention_id width (VERDICT r2 #7): 64 = xxhash64 long (test scale);
+    # 128 = double-seeded 32-char hex string, collision-safe at 10^12
+    # mentions (see operators/mentions.extract_mentions ID NOTE)
+    id_bits: int = 64
+    # "local" = localCheckpoint (fast; pins executor memory/disk — fine on
+    # local mode and short jobs); "reliable" = RDD checkpoint to
+    # SparkContext's checkpoint dir (survives executor loss — the CLUSTER
+    # setting, clustering.py's documented swap). When "reliable" and
+    # checkpoint_dir is set, the RDD checkpoint dir is auto-derived.
+    checkpoint_mode: str = "local"
+    # base hash for the MinHash blocking keys. None = hashing.xxhash64_mod
+    # (native JVM call — fast, and its TINY expression tree keeps the
+    # blocking plan cheap for Catalyst/AQE, which re-optimizes the plan at
+    # every shuffle-stage boundary; measured r3: the interpreted poly_hash
+    # lambda trees put ~49s of SERIAL driver planning into the links stage
+    # at a 20k-entity catalogue — core-count-independent, so it capped
+    # scaling efficiency at ~0.32). Pass functions.hashing.poly_hash for
+    # bit-parity with the DuckDB oracle kernels (the oracle-checked QUERIES
+    # keep poly_hash; the pipeline's contract is F1, not hash values).
+    blocking_hash_fn: Any = None
     metrics: dict[str, Any] = field(default_factory=dict)
+
+    def _blocking_hash(self):
+        if self.blocking_hash_fn is not None:
+            return self.blocking_hash_fn
+        from blink_reloaded_spark.functions.hashing import xxhash64_mod
+
+        return xxhash64_mod
+
+    def _materialize(self, df: DataFrame) -> DataFrame:
+        if self.checkpoint_mode == "reliable":
+            sc = self.spark.sparkContext
+            if sc.getCheckpointDir() is None and self.checkpoint_dir:
+                sc.setCheckpointDir(self.checkpoint_dir + "/_rdd_ckpt")
+            return df.checkpoint()
+        return df.localCheckpoint()
 
     @classmethod
     def tuned(
@@ -129,6 +164,10 @@ class LinkagePipeline:
                 "max_entity_block": self.max_entity_block,
                 "max_candidates_per_mention": self.max_candidates_per_mention,
                 "max_key_pairs": self.max_key_pairs,
+                "id_bits": self.id_bits,
+                "blocking_hash": getattr(
+                    self._blocking_hash(), "__name__", "custom"
+                ),
                 "surfaces": sorted(surfaces) if surfaces else None,
             },
             sort_keys=True,
@@ -174,20 +213,43 @@ class LinkagePipeline:
                 # action would otherwise pay a full extra write+read.
                 out = build()
                 if materialize:
-                    out = out.localCheckpoint()
+                    out = self._materialize(out)
             self.metrics[f"{name}_sec"] = round(_time.time() - t0, 2)
             return out
 
+        # counter metrics are DEFERRED and collected in ONE union-of-
+        # aggregates job at the end (VERDICT r2 #3: a count() per stage was
+        # five job barriers of pure fixed latency; every counted frame is a
+        # materialized stage checkpoint, so the single job reads cached data)
+        pending_counts: list[tuple[str, DataFrame]] = []
+
         def count_metric(key: str, df: DataFrame) -> None:
             if self.collect_metrics:
-                self.metrics[key] = df.count()
+                pending_counts.append((key, df))
+
+        def flush_counts() -> None:
+            if not pending_counts:
+                return
+            aggs = [
+                df.agg(F.count("*").alias("n")).select(
+                    F.lit(key).alias("k"), "n"
+                )
+                for key, df in pending_counts
+            ]
+            one = aggs[0]
+            for a in aggs[1:]:
+                one = one.unionByName(a)
+            for r in one.collect():
+                self.metrics[r["k"]] = r["n"]
 
         # -- 1. mentions ----------------------------------------------------
         def build_mentions() -> DataFrame:
             if mentions is not None:
                 return mentions
             assert surfaces is not None, "need surfaces or mentions"
-            return extract_mentions(transcripts, surfaces, with_context=False)
+            return extract_mentions(
+                transcripts, surfaces, with_context=False, id_bits=self.id_bits
+            )
 
         m = stage("mentions", build_mentions, inputs=["transcripts"])
         count_metric("mentions", m)
@@ -234,6 +296,7 @@ class LinkagePipeline:
         # -- 3. candidates (surface ⋈ entity on blocking keys) ------------------
         def build_candidates() -> DataFrame:
             keyed = surfaces_t.withColumn("prefix_key", _prefix_key("text"))
+            hf = self._blocking_hash()
             mk = blocking_keys(
                 keyed.where("is_mention"),
                 id_col="id",
@@ -242,6 +305,7 @@ class LinkagePipeline:
                 rows=self.rows,
                 shingle_k=self.shingle_k,
                 extra_key_cols=["prefix_key"],
+                hash_fn=hf,
             )
             ek = blocking_keys(
                 keyed.where("NOT is_mention"),
@@ -251,6 +315,7 @@ class LinkagePipeline:
                 rows=self.rows,
                 shingle_k=self.shingle_k,
                 extra_key_cols=["prefix_key"],
+                hash_fn=hf,
             )
             return mention_entity_candidates(
                 mk,
@@ -260,13 +325,14 @@ class LinkagePipeline:
                 max_key_pairs=self.max_key_pairs,
             )
 
-        # candidates has exactly ONE consumer (the scorer join) — with
-        # metrics off and no checkpoint store, materializing it is a pure
-        # extra barrier (the metric count() is the second consumer otherwise)
+        # candidates is ALWAYS materialized (r3): it has one data consumer,
+        # but the materialization boundary cuts the 24-band blocking subtree
+        # out of the links-stage plan — AQE re-optimizes the live plan at
+        # every shuffle-stage boundary, and re-traversing the blocking tree
+        # ~10x over was pure serial driver time
         cands = stage(
             "candidates",
             build_candidates,
-            materialize=self.collect_metrics,
             inputs=["surfaces"],
         )
         count_metric("candidate_pairs", cands)
@@ -275,19 +341,21 @@ class LinkagePipeline:
         def build_links() -> DataFrame:
             # two-phase scorer (VERDICT r2 #1): cheap text features on every
             # candidate pair (texts ~100B/row through the shuffle), a
-            # provably-lossless prune from the cos-weight bound, and the
-            # 256-float vectors joined BY ID only for the few survivors —
-            # the old plan shipped ~2KB of vectors per pair, the measured
-            # large-catalogue scale-killer. The repartition before the
-            # feature UDFs is the salted rebalance (O7 / north_rule): pair
-            # rows are independent, so a synthetic-key repartition spreads a
-            # hot block evenly over every core.
+            # provably-lossless threshold prune from the cos-weight bound
+            # (exact for link_best — see two_phase_scored_pairs), and the
+            # 256-float vectors joined BY ID only for survivors — the old
+            # plan shipped ~2KB of vectors per pair through the candidate
+            # shuffle, which a cluster network would pay ~20x over. The
+            # repartition before the feature UDFs is the salted rebalance
+            # (O7 / north_rule): pair rows are independent, so a
+            # synthetic-key repartition spreads a hot block evenly over
+            # every core.
             par = self.spark.sparkContext.defaultParallelism
             scored = two_phase_scored_pairs(
                 cands,
                 surfaces_t,
                 threshold=self.threshold,
-                argmax_prune=True,
+                argmax_prune=False,
                 repartition_to=par,
             )
             best = link_best(scored, self.threshold)
@@ -364,7 +432,8 @@ class LinkagePipeline:
             inputs=["links", "mentions"],
         )
         if self.collect_metrics:
-            self.metrics["clusters"] = clusters.select("cluster_id").distinct().count()
+            count_metric("clusters", clusters.select("cluster_id").distinct())
+        flush_counts()
         return clusters.select("node", F.col("cluster_id").alias("component"))
 
     def run_links(
@@ -385,19 +454,20 @@ class LinkagePipeline:
         """
         if mentions is None:
             assert surfaces is not None, "need surfaces or mentions"
-            mentions = extract_mentions(transcripts, surfaces, with_context=False)
+            mentions = extract_mentions(
+                transcripts, surfaces, with_context=False, id_bits=self.id_bits
+            )
         m = mentions.select("mention_id", "conv_id", "turn_idx", "mention")
 
-        surf = (
+        surf = self._materialize(
             m.select(F.col("mention").alias("text"))
             .distinct()
             .select(F.xxhash64(F.lit("surf"), "text").alias("id"), "text")
             .withColumn("vec", hashed_embedding_udf(F.col("text")))
             .withColumn("tk", tokens(F.col("text")))
             .withColumn("prefix_key", _prefix_key("text"))
-            .localCheckpoint()
         )
-        ent = (
+        ent = self._materialize(
             entities.select(
                 (F.lit(ENTITY_ID_OFFSET) - F.col("entity_id")).alias("id"),
                 F.lower(F.col("title")).alias("text"),
@@ -405,11 +475,11 @@ class LinkagePipeline:
             .withColumn("vec", hashed_embedding_udf(F.col("text")))
             .withColumn("tk", tokens(F.col("text")))
             .withColumn("prefix_key", _prefix_key("text"))
-            .localCheckpoint()
         )
         kw = dict(
             id_col="id", text_col="text", bands=self.bands, rows=self.rows,
             shingle_k=self.shingle_k, extra_key_cols=["prefix_key"],
+            hash_fn=self._blocking_hash(),
         )
         cands = mention_entity_candidates(
             blocking_keys(surf, **kw),
@@ -423,7 +493,7 @@ class LinkagePipeline:
         par = self.spark.sparkContext.defaultParallelism
         scored = two_phase_scored_pairs(
             cands, surf, ent,
-            threshold=self.threshold, argmax_prune=True, repartition_to=par,
+            threshold=self.threshold, argmax_prune=False, repartition_to=par,
         )
         best = link_best(scored, self.threshold)
         surf_link = best.join(
@@ -463,18 +533,19 @@ class LinkagePipeline:
 
         if mentions is None:
             assert surfaces is not None, "need surfaces or mentions"
-            mentions = extract_mentions(transcripts, surfaces, with_context=False)
-        m = mentions.localCheckpoint() if self.checkpoint_dir is None else mentions
+            mentions = extract_mentions(
+                transcripts, surfaces, with_context=False, id_bits=self.id_bits
+            )
+        m = self._materialize(mentions) if self.checkpoint_dir is None else mentions
         m_slim = m.select("mention_id", "mention")
 
-        surf = (
+        surf = self._materialize(
             m_slim.select(F.col("mention").alias("text"))
             .distinct()
             .select(F.xxhash64(F.lit("surf"), "text").alias("id"), "text")
             .withColumn("vec", hashed_embedding_udf(F.col("text")))
             .withColumn("tk", tokens(F.col("text")))
             .withColumn("prefix_key", _prefix_key("text"))
-            .localCheckpoint()
         )
         keys = blocking_keys(
             surf,
@@ -484,6 +555,7 @@ class LinkagePipeline:
             rows=self.rows,
             shingle_k=self.shingle_k,
             extra_key_cols=["prefix_key"],
+            hash_fn=self._blocking_hash(),
         )
         pairs = candidate_pairs(keys, max_block=self.max_block)
         # argmax_prune=False: match_edges consumes the FULL accepted-edge
@@ -495,8 +567,10 @@ class LinkagePipeline:
             pairs, surf,
             threshold=thr, argmax_prune=False, repartition_to=par,
         )
-        edges = match_edges(scored, thr).localCheckpoint()
-        comps = connected_components(edges, nodes=surf.select("id"))
+        edges = self._materialize(match_edges(scored, thr))
+        comps = connected_components(
+            edges, nodes=surf.select("id"), checkpoint_mode=self.checkpoint_mode
+        )
         surf_comp = comps.join(
             surf.select(F.col("id").alias("node"), F.col("text").alias("mention")),
             "node",

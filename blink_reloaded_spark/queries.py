@@ -520,7 +520,7 @@ WHERE round(ni / CAST(sa.n + sb.n - ni AS DOUBLE), 6) >= {DEDUP_TAU}
 """
 
 
-def dedup03_minhash_lsh(spark, sf_dir):
+def dedup03_minhash_lsh(spark, sf_dir, hash_fn=None):
     """MinHash-LSH near-dup pairs, three-tier (the 100TB shape):
       1. band-bucket join -> candidate pairs (never the quadratic shingle
          self-join; on this vocabulary-dense corpus background jaccard is
@@ -550,8 +550,11 @@ def dedup03_minhash_lsh(spark, sf_dir):
     )
     # ONE signature table feeds both band keys and agreement signatures
     # (round 1 recomputed the full shingle-hash pass per consumer)
+    # hash_fn=None -> portable poly_hash (DuckDB-oracle parity); the bench
+    # also times hash_fn=hashing.xxhash64_mod, the production fast path
+    # (band semantics preserved — test_minhash_xxhash64_band_semantics)
     sig_t = minhash_sig_table(
-        d, "doc_id", F.col("sh"), DEDUP_BANDS * DEDUP_ROWS
+        d, "doc_id", F.col("sh"), DEDUP_BANDS * DEDUP_ROWS, hash_fn=hash_fn
     ).localCheckpoint()
     keys = band_keys_from_sig_table(
         sig_t, DEDUP_BANDS, DEDUP_ROWS
@@ -686,7 +689,14 @@ def _sql_ann02():
 
 def ann03_lsh_topk(spark, sf_dir):
     """Bucketed ANN: cosine top-k *within* hyperplane bucket — the
-    100TB-shape query (shuffle on bucket, no global cross join)."""
+    100TB-shape query (shuffle on bucket, no global cross join).
+
+    BASELINE-ONLY operator (VERDICT r2 #5): a SINGLE 8-plane table gives
+    measured recall ~0 on this corpus's near-uniform vectors (median
+    true-neighbor cosine 0.37 — the tuning math is at the ANN_PLANES note
+    further down this file). It exists as the single-table contrast baseline
+    for ann05 (16x4-plane OR-amplified, recall@5 ~0.9, the headline ANN
+    entry in bench.py) — do NOT use ann03 for production neighbor lookup."""
     v = T(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
@@ -719,6 +729,68 @@ WITH v AS (SELECT vec_id, embedding, {bkt} AS bucket FROM embeddings),
 scored AS (
   SELECT a.vec_id AS qid, b.vec_id AS nid, {cos} AS cos
   FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT qid, nid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos FROM ranked WHERE rank <= 3
+"""
+
+
+def ann06_multiprobe_lsh(spark, sf_dir):
+    """Multi-probe single-table LSH (VERDICT r2 #5's recall fix for the
+    ann03 shape): each query probes its OWN bucket plus the 8 Hamming-1
+    neighbor buckets (flip one hyperplane bit) — the standard multi-probe
+    trick (Lv et al., VLDB'07): a true neighbor lost to ONE disagreeing
+    plane is recovered, so hit prob rises from p^8 to p^8 + 8*p^7*(1-p)
+    (~7x at this corpus's p~0.63) at 9x candidate cost — still a bucketed
+    equi-join, never a cross join. The probe explosion is on the QUERY side
+    only; each (query, neighbor) pair matches at most one probe code, so no
+    dedup pass is needed."""
+    v = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        emb.hyperplane_bucket(F.col("embedding"), 8, EMB_DIM).alias("bucket"),
+    )
+    masks = [0] + [1 << j for j in range(8)]
+    probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+    a = v.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.explode(probes).alias("bucket"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"), "bucket"
+    )
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "nid", emb.cosine_similarity(F.col("qv"), F.col("nv")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("qid", "nid", "rank", "cos")
+    )
+
+
+def _sql_ann06():
+    bkt = osql.sql_hyperplane_bucket("embedding", HP_PLANES)
+    cos = osql.sql_cosine("q.embedding", "b.embedding")
+    masks = ", ".join(str(m) for m in [0] + [1 << j for j in range(8)])
+    return f"""
+WITH v AS (SELECT vec_id, embedding, {bkt} AS bucket FROM embeddings),
+m AS (SELECT unnest([{masks}]) AS mask),
+q AS (SELECT vec_id, embedding, xor(bucket, CAST(mask AS BIGINT)) AS probe
+      FROM v CROSS JOIN m),
+scored AS (
+  SELECT q.vec_id AS qid, b.vec_id AS nid, {cos} AS cos
+  FROM q JOIN v b ON q.probe = b.bucket AND q.vec_id != b.vec_id
 ),
 ranked AS (
   SELECT qid, nid, cos,
@@ -1507,6 +1579,7 @@ FROM (SELECT doc_id,
         "ann03_lsh_topk": ann03_lsh_topk,
         "ann04_block_matmul": ann04_block_matmul,
         "ann05_multitable_lsh": ann05_multitable_lsh,
+        "ann06_multiprobe_lsh": ann06_multiprobe_lsh,
         "linkcount01_incoming": linkcount01_incoming,
         "bm25_01_scored_retrieval": bm25_01_scored_retrieval,
         "multimodal01_metadata": multimodal01_metadata,
@@ -1550,6 +1623,7 @@ FROM (SELECT doc_id,
         "ann03_lsh_topk": _sql_ann03(),
         "ann04_block_matmul": _sql_ann03(),  # must equal the JVM-side ann03
         "ann05_multitable_lsh": _sql_ann05(),
+        "ann06_multiprobe_lsh": _sql_ann06(),
         "linkcount01_incoming": _sql_linkcount01(),
         "bm25_01_scored_retrieval": _sql_bm25_01(),
         "multimodal01_metadata": _sql_multimodal01(),

@@ -97,6 +97,12 @@ class CheckpointManager:
         if self.use_iceberg:
             full = f"iceberg.{self.root}.{name}"
             w = df.writeTo(full).using("iceberg")
+            if fingerprint is not None:
+                # same stale-resume guard as the parquet manifest (ADVICE
+                # r2): the fingerprint rides as an Iceberg table property so
+                # a rerun with changed params rebuilds instead of returning
+                # the stale table
+                w = w.tableProperty("blink.fingerprint", fingerprint)
             if partition_by:
                 from pyspark.sql import functions as F
 
@@ -131,6 +137,24 @@ class CheckpointManager:
             self._log.append(man)
         return out
 
+    def _stored_fingerprint(self, name: str) -> str | None:
+        """Fingerprint recorded at write time: parquet manifest field, or
+        the `blink.fingerprint` Iceberg table property. None (missing /
+        unreadable / pre-fingerprint checkpoint) compares as stale."""
+        if self.use_iceberg:
+            try:
+                rows = self.spark.sql(
+                    f"SHOW TBLPROPERTIES iceberg.{self.root}.{name}"
+                    " ('blink.fingerprint')"
+                ).collect()
+                return rows[0]["value"] if rows else None
+            except Exception:
+                return None
+        try:
+            return self.manifest(name).get("fingerprint")
+        except (OSError, json.JSONDecodeError):
+            return None
+
     def stage(
         self,
         name: str,
@@ -153,11 +177,8 @@ class CheckpointManager:
         """
         if not force and self.exists(name):
             stale = False
-            if fingerprint is not None and not self.use_iceberg:
-                try:
-                    old = self.manifest(name).get("fingerprint")
-                except (OSError, json.JSONDecodeError):
-                    old = None
+            if fingerprint is not None:
+                old = self._stored_fingerprint(name)
                 stale = old != fingerprint
             if not stale:
                 self._log.append({"stage": name, "resumed": True})

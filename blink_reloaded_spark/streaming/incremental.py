@@ -10,10 +10,15 @@ and would need stateful cross-batch union-find; that mode stays batch
 (plans/pipeline.run_kb_free) with checkpoint/resume as the incremental
 story.
 
-Exactly-once ingest rides on Structured Streaming's source checkpoint: a
-restarted query re-reads only unprocessed files (pinned in
-tests/test_streaming_incremental.py — batch 2 is processed after a restart
-without re-emitting batch 1).
+Exactly-once OUTPUT = at-least-once foreachBatch + an idempotent sink: the
+source checkpoint makes a restarted query re-read only unprocessed files,
+but a crash AFTER the parquet write and BEFORE the checkpoint commit
+replays that micro-batch — so the sink partitions by batch_id and
+dynamically OVERWRITES exactly that partition on replay instead of
+appending duplicates (the standard Spark idempotent-sink recipe). Pinned in
+tests/test_streaming_incremental.py: graceful restart processes batch 2
+without re-emitting batch 1, and a simulated replay of the same batch_id
+leaves the output byte-identical.
 """
 
 from __future__ import annotations
@@ -23,6 +28,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from blink_reloaded_spark.plans.pipeline import LinkagePipeline
+
+
+def write_links_idempotent(
+    links: DataFrame, batch_id: int, output_path: str
+) -> None:
+    """Idempotent micro-batch sink: partition by batch_id and dynamically
+    overwrite ONLY that partition — a foreachBatch replay (crash between
+    the write and the stream-checkpoint commit) rewrites the same partition
+    instead of appending duplicate rows. run_links is deterministic per
+    batch (link = pure fn of surface + static catalogue), so the rewrite is
+    byte-equivalent. Module-level so the replay path is directly testable."""
+    (
+        links.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_path)
+    )
 
 
 def incremental_link(
@@ -44,9 +67,7 @@ def incremental_link(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         links = pipeline.run_links(batch_df, ent, surfaces=surfaces)
-        links.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(output_path)
+        write_links_idempotent(links, batch_id, output_path)
 
     writer = transcript_stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

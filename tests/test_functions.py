@@ -128,3 +128,54 @@ def test_simhash_exploded_equals_inline(spark):
         assert expl[i] == inline[i], i
     assert 4 not in expl and inline[4] == 0
     assert inline[0] == inline[1] and inline[0] != inline[2]
+
+
+def test_minhash_xxhash64_band_semantics(spark):
+    """Production hash path (hashing.xxhash64_mod): swapping the base hash
+    must preserve band SEMANTICS — the LSH candidate-pair set on a
+    duplicate-heavy fixture is identical to the portable poly_hash path
+    (exact dups collide deterministically under ANY base hash; the
+    high-jaccard near-dup pair has miss prob (1-j^2)^bands ~ 1e-7)."""
+    from blink_reloaded_spark.functions.hashing import (
+        minhash_band_keys_exploded,
+        xxhash64_mod,
+    )
+    from blink_reloaded_spark.functions.text import char_shingles, normalize_text
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (1, base),
+        (2, base),                                    # exact dup of 1
+        (3, base + " with a short extra tail"),       # near dup, j ~ 0.88
+        (4, "completely different content about spark minhash lsh banding"),
+        (5, "another unrelated document with entirely different words"),
+    ]
+    d = spark.createDataFrame(rows, "id long, text string").select(
+        "id",
+        char_shingles(normalize_text(F.col("text")), 5, normalize=False).alias("sh"),
+    )
+
+    def cand_pairs(hf):
+        keys = minhash_band_keys_exploded(d, "id", F.col("sh"), 12, 2, hash_fn=hf)
+        return set(
+            map(
+                tuple,
+                keys.alias("x")
+                .join(keys.alias("y"), "block_key")
+                .where(F.col("x.id") < F.col("y.id"))
+                .select(F.col("x.id"), F.col("y.id"))
+                .distinct()
+                .collect(),
+            )
+        )
+
+    portable = cand_pairs(None)
+    production = cand_pairs(xxhash64_mod)
+    assert portable == production
+    assert {(1, 2), (1, 3), (2, 3)} <= portable
+    # the production base hash actually lands in [0, P) (perm family domain)
+    mx = d.selectExpr("explode(sh) as s").select(
+        F.max(xxhash64_mod(F.col("s"))).alias("mx"),
+        F.min(xxhash64_mod(F.col("s"))).alias("mn"),
+    ).collect()[0]
+    assert 0 <= mx["mn"] and mx["mx"] < P

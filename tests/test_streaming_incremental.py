@@ -61,3 +61,19 @@ def test_incremental_link_matches_batch(spark, tmp_path):
     # sanity: most mentions do link on this clean fixture
     linked = got.where(F.col("entity_id") >= 0).count()
     assert linked / got.count() > 0.9
+
+    # CRASH-REPLAY idempotence (ADVICE r2): foreachBatch is at-least-once —
+    # simulate a crash after the write but before the stream-checkpoint
+    # commit by re-running the sink for an already-written batch_id. The
+    # dynamic partition overwrite must leave the output identical, not
+    # append duplicates.
+    from blink_reloaded_spark.streaming.incremental import (
+        write_links_idempotent,
+    )
+
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    replay_links = pipe.run_links(half1, cat.entities_df(spark), surfaces=surfaces)
+    replayed_bid = int(got1.select(F.min("batch_id")).collect()[0][0])
+    write_links_idempotent(replay_links, replayed_bid, out)
+    after = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert after == before
