@@ -308,7 +308,11 @@ def extract_mentions(
     # cores explicitly. At real scale the input has plenty of partitions
     # and this rebalance is what keeps stragglers off hot conversations.
     # 3 tasks per core: straggler smoothing — with one wave of equal tasks
-    # the stage time is max-of-N; finer tasks let fast cores steal work
+    # the stage time is max-of-N; finer tasks let fast cores steal work.
+    # (r3 measured: SKIPPING this when the input is already multi-split is
+    # a 40% extraction REGRESSION at low core counts — the compaction into
+    # ~one fat task per core keeps each Python worker's Arrow stream
+    # continuously fed, which beats avoiding the text shuffle.)
     par = transcripts.sparkSession.sparkContext.defaultParallelism * 3
     cols = cols.repartition(par)
     mentions = cols.mapInPandas(gen, schema=_schema(with_context))
