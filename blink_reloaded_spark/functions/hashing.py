@@ -124,7 +124,8 @@ def simhash64(toks: Column, nbits: int = 32) -> Column:
     return out
 
 
-def id_shingle_hashes(df, id_col: str, shingles: Column, hash_fn=None):
+def id_shingle_hashes(df, id_col: str, shingles: Column, hash_fn=None,
+                      dedup_shingles: bool | None = None):
     """(id, h): one row per (id, shingle) with the base hash computed ONCE
     per DISTINCT shingle and joined back.
 
@@ -138,6 +139,14 @@ def id_shingle_hashes(df, id_col: str, shingles: Column, hash_fn=None):
     """
     hf = hash_fn or poly_hash
     e = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
+    if dedup_shingles is None:
+        # the distinct-vocabulary pass pays for itself only when the base
+        # hash is the INTERPRETED poly_hash aggregate; a native hash_fn
+        # (xxhash64_mod) is cheaper than the distinct+join shuffles it
+        # would save (r3 measured on the 20k-entity blocking keys)
+        dedup_shingles = hash_fn is None
+    if not dedup_shingles:
+        return e.select("id", hf(F.col("s")).alias("h"))
     dist = e.select("s").distinct().select("s", hf(F.col("s")).alias("h"))
     return e.join(dist, "s").select("id", "h")
 
