@@ -143,8 +143,11 @@ def id_shingle_hashes(df, id_col: str, shingles: Column, hash_fn=None,
         # the distinct-vocabulary pass pays for itself only when the base
         # hash is the INTERPRETED poly_hash aggregate; a native hash_fn
         # (xxhash64_mod) is cheaper than the distinct+join shuffles it
-        # would save (r3 measured on the 20k-entity blocking keys)
-        dedup_shingles = hash_fn is None
+        # would save (r3 measured on the 20k-entity blocking keys). Keyed
+        # on the resolved function, not on argument presence: a caller
+        # passing poly_hash EXPLICITLY (the oracle-parity path) keeps the
+        # optimization (ADVICE r3)
+        dedup_shingles = hf is poly_hash
     if not dedup_shingles:
         return e.select("id", hf(F.col("s")).alias("h"))
     dist = e.select("s").distinct().select("s", hf(F.col("s")).alias("h"))

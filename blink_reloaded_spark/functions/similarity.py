@@ -97,7 +97,11 @@ def jaro_winkler_np(sa: pd.Series, sb: pd.Series) -> np.ndarray:
     matched_i = np.zeros((B, W), dtype=bool)
     for i in range(int(la.max(initial=0))):
         ai = a[:, i][:, None]  # [B,1]
-        cand = (b == ai) & avail & (np.abs(j_idx - i) <= window)
+        # ai != 0 keeps the "real codes are >= 1" invariant honest for
+        # arbitrary input: an embedded NUL (code 0 at a valid position of
+        # either string) must never match a's zero padding — NUL chars
+        # simply never participate in matches (ADVICE r3)
+        cand = (b == ai) & (ai != 0) & avail & (np.abs(j_idx - i) <= window)
         take = cand.any(axis=1)
         j = np.argmax(cand, axis=1)
         matched_i[take, i] = True

@@ -129,6 +129,18 @@ def connected_components(
     Returns DataFrame(node: long, component: long) with
     component = min(node id in the component).
     """
+    # fail fast with a usable message (ADVICE r3): df.checkpoint() without a
+    # SparkContext checkpoint dir dies mid-run at the first action with a
+    # generic SparkException
+    if (
+        checkpoint_mode == "reliable"
+        and edges.sparkSession.sparkContext.getCheckpointDir() is None
+    ):
+        raise ValueError(
+            "checkpoint_mode='reliable' needs a SparkContext checkpoint dir: "
+            "call spark.sparkContext.setCheckpointDir(...) first, or set "
+            "LinkagePipeline(checkpoint_dir=...) which auto-derives it"
+        )
     # lazy checkpoint: the (count, checksum) agg below is the first action —
     # it sizes the iteration parallelism AND seeds the convergence test AND
     # materializes the canonical edge set, all in ONE job (the eager variant

@@ -138,6 +138,12 @@ def two_phase_scored_pairs(
     the score (the embedding dot product) only ever sees pairs that cheap
     text evidence cannot rule out.
 
+    PRECONDITION (ADVICE r3): `vec` must hold (near-)unit-norm vectors —
+    the prune bound below assumes cos <= COS_MAX, which only holds for
+    L2-normalized embeddings (hashed_embedding_udf emits them; external
+    callers must normalize, or pairs whose dot product exceeds COS_MAX
+    would be silently mis-pruned).
+
     Phase 1: join ONLY (text, tk) onto the pairs (~100B/row), compute the
     cheap features, cheap = jw*W_JW + lev*W_LEV + overlap*W_OVL.
     Phase 2 prune — PROVABLY LOSSLESS, not a heuristic: the cos term is

@@ -123,7 +123,15 @@ class LinkagePipeline:
     def _materialize(self, df: DataFrame) -> DataFrame:
         if self.checkpoint_mode == "reliable":
             sc = self.spark.sparkContext
-            if sc.getCheckpointDir() is None and self.checkpoint_dir:
+            if sc.getCheckpointDir() is None:
+                if not self.checkpoint_dir:
+                    # fail fast (ADVICE r3): df.checkpoint() without a dir
+                    # crashes mid-run with a generic SparkException
+                    raise ValueError(
+                        "checkpoint_mode='reliable' needs checkpoint_dir= "
+                        "(auto-derives the RDD checkpoint dir) or a prior "
+                        "spark.sparkContext.setCheckpointDir(...)"
+                    )
                 sc.setCheckpointDir(self.checkpoint_dir + "/_rdd_ckpt")
             return df.checkpoint()
         return df.localCheckpoint()

@@ -109,6 +109,32 @@ class CheckpointManager:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
             out = self.spark.read.table(full)
+            # same row/file-count lineage as the parquet manifest (VERDICT
+            # r3 #8), read back from the committed snapshot's summary — the
+            # counts Iceberg already maintains, so no extra data scan
+            man = {
+                "stage": name,
+                "run_id": self.run_id,
+                "inputs": inputs or [],
+                "fingerprint": fingerprint,
+                "rows": None,
+                "n_files": None,
+                "wall_sec": round(time.time() - t0, 3),
+                "metrics": metrics or {},
+                "schema": out.schema.simpleString(),
+            }
+            try:
+                snap = self.spark.sql(
+                    f"SELECT summary FROM {full}.snapshots"
+                    " ORDER BY committed_at DESC LIMIT 1"
+                ).collect()
+                if snap:
+                    summary = snap[0]["summary"]
+                    man["rows"] = int(summary.get("total-records"))
+                    man["n_files"] = int(summary.get("total-data-files"))
+            except Exception as exc:  # snapshots metadata table unavailable
+                man["lineage_error"] = repr(exc)
+            self._log.append(man)
         else:
             path = self._dir(name)
             writer = df.write.mode("overwrite")

@@ -100,3 +100,85 @@ def test_pipeline_param_change_invalidates_checkpoints(spark, tmp_path):
     assert p1._fingerprint(["a", "b"]) == p1._fingerprint(["b", "a"])
     assert p1._fingerprint(["a"]) != p1._fingerprint(["b"])
     assert p1._fingerprint(["a"]) != p2._fingerprint(["a"])
+
+
+def test_iceberg_path_records_snapshot_lineage():
+    """Drive the Iceberg branch of CheckpointManager.write with a pure-
+    Python fake session (the sandbox has no Iceberg runtime jar): the
+    manager must set the fingerprint table property AND record the same
+    rows/n_files lineage as the parquet manifest, read back from the
+    committed snapshot's summary (VERDICT r3 #8)."""
+    from blink_reloaded_spark.sources.checkpoint import CheckpointManager
+
+    calls = {"props": {}, "sql": [], "created": []}
+
+    class FakeWriter:
+        def using(self, fmt):
+            assert fmt == "iceberg"
+            return self
+
+        def tableProperty(self, k, v):
+            calls["props"][k] = v
+            return self
+
+        def createOrReplace(self):
+            calls["created"].append(True)
+
+    class FakeSchema:
+        def simpleString(self):
+            return "struct<v:bigint>"
+
+    class FakeDF:
+        schema = FakeSchema()
+
+        def writeTo(self, full):
+            assert full == "iceberg.ns.s1"
+            return FakeWriter()
+
+    class FakeRow(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    class FakeQuery:
+        def collect(self):
+            return [FakeRow(summary={"total-records": "7",
+                                     "total-data-files": "2"})]
+
+    class FakeReader:
+        def table(self, full):
+            return FakeDF()
+
+    class FakeSpark:
+        read = FakeReader()
+
+        def sql(self, q):
+            calls["sql"].append(q)
+            return FakeQuery()
+
+    ckpt = CheckpointManager(FakeSpark(), "ns", use_iceberg=True)
+    ckpt.write("s1", FakeDF(), inputs=["in1"], fingerprint="fpX")
+    assert calls["props"] == {"blink.fingerprint": "fpX"}
+    assert any("iceberg.ns.s1.snapshots" in q for q in calls["sql"])
+    man = ckpt.log[-1]
+    assert man["rows"] == 7 and man["n_files"] == 2
+    assert man["fingerprint"] == "fpX" and man["inputs"] == ["in1"]
+    assert "lineage_error" not in man
+
+
+def test_reliable_mode_without_dir_fails_fast(spark):
+    """ADVICE r3: checkpoint_mode='reliable' with no checkpoint dir must
+    raise a clear ValueError up front, not a generic SparkException at the
+    first mid-run action."""
+    import pytest
+
+    from blink_reloaded_spark.operators.clustering import connected_components
+    from blink_reloaded_spark.plans.pipeline import LinkagePipeline
+
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("another test already set the global RDD checkpoint dir")
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        connected_components(edges, checkpoint_mode="reliable")
+    pipe = LinkagePipeline(spark, checkpoint_mode="reliable")
+    with pytest.raises(ValueError, match="reliable"):
+        pipe._materialize(edges)

@@ -179,3 +179,47 @@ def test_minhash_xxhash64_band_semantics(spark):
         F.min(xxhash64_mod(F.col("s"))).alias("mn"),
     ).collect()[0]
     assert 0 <= mx["mn"] and mx["mx"] < P
+
+
+def test_jw_nul_never_matches_padding(spark):
+    """ADVICE r3: an embedded NUL (code 0 at a VALID position) must never
+    match the zero padding of the shorter string. The second (longer) pair
+    extends the batch's position loop past len(a) of the first pair, which
+    is what exposed the missing guard."""
+    import pandas as pd
+
+    from blink_reloaded_spark.functions.similarity import jaro_winkler_np
+
+    a = pd.Series(["ab", "wxyz"])
+    b_nul = pd.Series(["ab\x00x", "wxyz"])
+    b_ref = pd.Series(["ab~x", "wxyz"])  # same shape, NUL -> unmatchable char
+    got = jaro_winkler_np(a, b_nul)
+    want = jaro_winkler_np(a, b_ref)
+    assert got == pytest.approx(want)
+    # NUL-vs-NUL strings: no real matches -> 0.0, not NaN/crash
+    assert jaro_winkler_np(pd.Series(["\x00\x00"]), pd.Series(["\x00"]))[0] == 0.0
+
+
+def test_id_shingle_hashes_dedup_keyed_on_resolved_fn(spark):
+    """ADVICE r3: the distinct-vocabulary optimization must key on the
+    RESOLVED hash function — passing poly_hash explicitly (the documented
+    oracle-parity path) keeps the distinct+join shape; a native hash
+    (xxhash64_mod) stays in-place."""
+    from blink_reloaded_spark.functions import hashing
+
+    df = spark.createDataFrame(
+        [(1, ["ab", "bc", "ab"]), (2, ["bc"])], "id long, sh array<string>"
+    )
+
+    def has_join(d):
+        return "Join" in d._jdf.queryExecution().optimizedPlan().toString()
+
+    explicit = hashing.id_shingle_hashes(df, "id", F.col("sh"),
+                                         hash_fn=hashing.poly_hash)
+    default = hashing.id_shingle_hashes(df, "id", F.col("sh"))
+    native = hashing.id_shingle_hashes(df, "id", F.col("sh"),
+                                       hash_fn=hashing.xxhash64_mod)
+    assert has_join(explicit) and has_join(default) and not has_join(native)
+    assert sorted(map(tuple, explicit.collect())) == sorted(
+        map(tuple, default.collect())
+    )
