@@ -30,7 +30,9 @@ import statistics
 import sys
 import time
 
-TRIALS = 3
+# driver default 3; override for quick local iteration only — committed
+# BENCH numbers must come from the default
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 
 
 def _noop(df) -> None:

@@ -142,3 +142,14 @@ def jaro_winkler_np(sa: pd.Series, sb: pd.Series) -> np.ndarray:
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.round(jaro_winkler_np(a, b), 6))
+
+
+# The function IS deterministic (bit-exact vs DuckDB, pinned by tests);
+# the nondeterministic MARK only stops Catalyst from inlining the jw
+# column's expression into downstream Filter conditions — inlined, the
+# two-phase scorer's prune filter re-evaluated the hottest UDF in the
+# engine over the full pair frame a SECOND time (ArrowEvalPython appeared
+# twice in the executed plan: once feeding the filter, once recomputing
+# the surviving rows' output column — ~1.7x the JW work at the 20k-entity
+# shape). Single projection + filter-on-the-column = one pass.
+jaro_winkler_udf = jaro_winkler_udf.asNondeterministic()

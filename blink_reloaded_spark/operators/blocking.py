@@ -192,6 +192,14 @@ def mention_entity_candidates(
     m = mention_keys.select(F.col("id").alias("a"), "block_key")
     e = entity_keys.select(F.col("id").alias("b"), "block_key")
     if max_entity_block is not None or max_key_pairs is not None:
+        # the purge consumes each key table TWICE (size aggregation + the
+        # purged join input); the tables embed the whole MinHash keying
+        # subtree, and stage reuse does not reliably dedup it — materialize
+        # the skinny (id, block_key) frames once per side (~40B/row) so the
+        # keying runs exactly once (same lesson as the scorer's
+        # multi-consumer UDF frames, perf-lessons r3)
+        m = m.localCheckpoint()
+        e = e.localCheckpoint()
         esz = e.groupBy("block_key").agg(F.count("*").alias("esz"))
         if max_key_pairs is not None:
             msz = m.groupBy("block_key").agg(F.count("*").alias("msz"))
@@ -213,8 +221,17 @@ def mention_entity_candidates(
         e = e.join(ok, "block_key", "left_semi")
     if max_candidates_per_mention is None:
         return m.join(e, "block_key").select("a", "b").distinct()
+    # ONE exchange for the whole count+rank tail (VERDICT r3 #1b): the key
+    # join emits one row per shared (a, b, key); repartitioning that frame
+    # by `a` satisfies BOTH the (a, b) aggregation's and the per-`a`
+    # window's required distribution, so groupBy and row_number run
+    # exchange-free on top — the old shape shuffled the full frame twice
+    # (hash(a, b) for the count, then hash(a) for the rank). Balance: the
+    # join product per `a` is bounded by the purge caps (a mention's keys x
+    # max_entity_block / max_key_pairs), so hash(a) partitions evenly.
     shared = (
         m.join(e, "block_key")
+        .repartition("a")
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_shared"))
     )

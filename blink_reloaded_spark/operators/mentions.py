@@ -261,6 +261,7 @@ def extract_mentions(
     impl: str = "token",
     with_context: bool = True,
     id_bits: int = 64,
+    partitioning: str = "auto",
 ) -> DataFrame:
     """Extract dictionary mentions from `transcripts(conv_id, turn_idx, text)`.
 
@@ -313,8 +314,30 @@ def extract_mentions(
     # a 40% extraction REGRESSION at low core counts — the compaction into
     # ~one fat task per core keeps each Python worker's Arrow stream
     # continuously fed, which beats avoiding the text shuffle.)
+    # own the parallelism (r1 finding: AQE coalesces small shuffle outputs
+    # far below the core count, starving the CPU-heavy matcher), at 3 tasks
+    # per core for straggler smoothing. "auto" (default) COALESCES the
+    # input splits into those tasks when there are enough of them — the
+    # compaction that keeps each Python worker's Arrow stream continuously
+    # fed (r3: no compaction at all was a 40% regression at low core
+    # counts) WITHOUT shuffling the full text column (at 24M turns the
+    # round-robin exchange moves ~2.4GB through shuffle storage at both
+    # core counts; a 100TB input always has enough splits to coalesce).
+    # Falls back to a real repartition when the input is too coarse (a
+    # small checkpoint often reads back as ONE split). Knobs
+    # "repartition"/"coalesce"/"none" force a strategy
+    # (scripts/profile_extraction.py measures them).
     par = transcripts.sparkSession.sparkContext.defaultParallelism * 3
-    cols = cols.repartition(par)
+    if partitioning in ("auto", "coalesce"):
+        n_in = cols.rdd.getNumPartitions()
+        if n_in >= par:
+            cols = cols.coalesce(par)
+        else:
+            cols = cols.repartition(par)
+    elif partitioning == "repartition":
+        cols = cols.repartition(par)
+    elif partitioning != "none":
+        raise ValueError(f"unknown partitioning: {partitioning!r}")
     mentions = cols.mapInPandas(gen, schema=_schema(with_context))
     # stable id from the ordering contract; xxhash64 is collision-safe enough
     # at test scale and avoids a global sort; a monotonic row_number variant

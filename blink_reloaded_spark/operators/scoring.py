@@ -173,8 +173,20 @@ def two_phase_scored_pairs(
     Both modes pinned by tests/test_pipeline.py::test_two_phase_scoring_parity.
 
     `a_nodes`/`b_nodes`: (id, text, tk, vec); b_nodes=None reuses a_nodes
-    (self-join case). `repartition_to` rebalances the text-pair frame before
-    the feature UDFs (salting for hot blocks, same as the old plan).
+    (self-join case). `repartition_to` rebalances the text-pair frame
+    round-robin before the feature UDFs; default None — the join chain
+    already spreads pair rows by hash(b) then hash(a), per-key row counts
+    are bounded upstream (top-k budget / max_block), and the extra
+    exchange was a pure stage-boundary cost (VERDICT r3 #1a). Pass a
+    number only when feeding UNBOUNDED per-key pair counts.
+
+    PLAN SHAPE (VERDICT r3 #1a — every exchange here is a shuffle-stage
+    boundary of serial driver/AQE latency, so the chain is ordered to
+    reuse partitioning): texts join (a then b) leaves the pair frame
+    partitioned by b -> the b-side vector join needs no left exchange ->
+    the a-side vector join is the ONE wide-ish pair exchange (carries
+    b_vec) and leaves the frame partitioned by a -> link_best's groupBy(a)
+    and the pipeline's surface-text join run exchange-free on top.
     """
     if b_nodes is None:
         b_nodes = a_nodes
@@ -184,7 +196,15 @@ def two_phase_scored_pairs(
     nb_t = b_nodes.select(
         F.col("id").alias("b"), F.col("text").alias("b_text"), F.col("tk").alias("b_tk")
     )
-    tp = cands.join(na_t, "a").join(nb_t, "b")
+    # hash-repartition the SKINNY id-pair frame (16B/row — the cheapest
+    # possible spot for the one unconditional exchange): (1) guarantees UDF
+    # parallelism whatever the input partitioning (a checkpointed candidate
+    # table often reads back as ONE split); (2) gives the planner a known
+    # hash(a) distribution that the text join reuses; (3) per-`a` row
+    # counts are bounded upstream (top-k budget / max_block), so hash(a)
+    # is balanced by construction — the salted-rebalance property of the
+    # old round-robin, without shuffling the WIDE text frame.
+    tp = cands.repartition("a").join(na_t, "a").join(nb_t, "b")
     if repartition_to:
         tp = tp.repartition(repartition_to)
     feats = pair_features(tp, a_toks="a_tk", b_toks="b_tk").withColumn(
@@ -212,9 +232,18 @@ def two_phase_scored_pairs(
     )
     va = a_nodes.select(F.col("id").alias("a"), F.col("vec").alias("a_vec"))
     vb = b_nodes.select(F.col("id").alias("b"), F.col("vec").alias("b_vec"))
+    # b-vec first (survivors are already partitioned by b when
+    # repartition_to is off), a-vec last so downstream per-`a` consumers
+    # (link_best) inherit hash(a) partitioning. shuffle_hash hint: the vec
+    # tables are the WIDE dims (~1KB/row); a broadcast join would build a
+    # ~100MB+ HashedRelation serially on the driver (core-count-independent
+    # latency — measured as the flat links wall), and at 10^12 turns the
+    # surface-side vec table is unbounded, so broadcast is also the wrong
+    # cluster shape. Shuffled-hash exchanges both sides (scales with
+    # cores) without sort.
     scored = (
-        survivors.join(va, "a")
-        .join(vb, "b")
+        survivors.join(vb.hint("shuffle_hash"), "b")
+        .join(va.hint("shuffle_hash"), "a")
         .withColumn("cos", _cos_col("a_vec", "b_vec"))
         .withColumn("score", _full_score_col())
     )

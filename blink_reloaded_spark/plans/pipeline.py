@@ -150,11 +150,64 @@ class LinkagePipeline:
             # (main_dense.py:252 keeps top_k=100 before the cross-encoder;
             # 16 suffices when ranked by shared-key count: measured at 20k
             # entities, pairwise F1 0.99998 at top-16 == top-64, 3.8x
-            # cheaper scoring)
-            params["max_key_pairs"] = 50_000
+            # cheaper scoring). Cap 15k (r4, was 50k): -35% candidates wall
+            # AND -60% links wall at the 20k-entity shape with the pairwise
+            # F1 gate unchanged — gold pairs live on their RARE shared
+            # keys, so the hot-key comparisons the cap drops are almost
+            # entirely non-gold (r3 curve: 50k -> blocked recall 0.9971)
+            params["max_key_pairs"] = 15_000
             params["max_candidates_per_mention"] = 16
         params.update(overrides)
         return cls(spark, **params)
+
+    def build_candidates_from(self, surfaces_t: DataFrame) -> DataFrame:
+        """Candidate (mention-surface, entity) pairs from a MATERIALIZED
+        surfaces node table (id, text, is_mention, ...): blocking keys ->
+        purge -> key equi-join -> top-k budget. Public so the stage can be
+        timed/driven in isolation (scripts/bench_stages.py)."""
+        keyed = surfaces_t.withColumn("prefix_key", _prefix_key("text"))
+        hf = self._blocking_hash()
+        kw = dict(
+            id_col="id", text_col="text", bands=self.bands, rows=self.rows,
+            shingle_k=self.shingle_k, extra_key_cols=["prefix_key"],
+            hash_fn=hf,
+        )
+        mk = blocking_keys(keyed.where("is_mention"), **kw)
+        ek = blocking_keys(keyed.where("NOT is_mention"), **kw)
+        return mention_entity_candidates(
+            mk,
+            ek,
+            max_entity_block=self.max_entity_block,
+            max_candidates_per_mention=self.max_candidates_per_mention,
+            max_key_pairs=self.max_key_pairs,
+        )
+
+    def build_links_from(
+        self, cands: DataFrame, surfaces_t: DataFrame
+    ) -> DataFrame:
+        """Surface->entity argmax links from materialized candidate pairs +
+        the surfaces node table: two-phase scoring -> threshold argmax ->
+        surface-text re-attachment. Public for isolated stage timing.
+
+        No round-robin rebalance of the pair frame: per-`a` candidate
+        counts are bounded by the top-k budget, so the scorer's own
+        hash(b)/hash(a) join exchanges spread the work evenly — the old
+        explicit repartition was one more shuffle-stage boundary of serial
+        driver latency per run (VERDICT r3 #1a)."""
+        scored = two_phase_scored_pairs(
+            cands,
+            surfaces_t,
+            threshold=self.threshold,
+            argmax_prune=False,
+        )
+        best = link_best(scored, self.threshold)
+        # carry the surface text so mentions re-attach by text equality
+        return best.join(
+            surfaces_t.select(
+                F.col("id").alias("a"), F.col("text").alias("surf_text")
+            ),
+            "a",
+        ).select("a", "b", "score", "surf_text")
 
     def _fingerprint(self, surfaces: list[str] | None) -> str:
         """Digest of the params + surface dictionary that determine stage
@@ -303,35 +356,7 @@ class LinkagePipeline:
 
         # -- 3. candidates (surface ⋈ entity on blocking keys) ------------------
         def build_candidates() -> DataFrame:
-            keyed = surfaces_t.withColumn("prefix_key", _prefix_key("text"))
-            hf = self._blocking_hash()
-            mk = blocking_keys(
-                keyed.where("is_mention"),
-                id_col="id",
-                text_col="text",
-                bands=self.bands,
-                rows=self.rows,
-                shingle_k=self.shingle_k,
-                extra_key_cols=["prefix_key"],
-                hash_fn=hf,
-            )
-            ek = blocking_keys(
-                keyed.where("NOT is_mention"),
-                id_col="id",
-                text_col="text",
-                bands=self.bands,
-                rows=self.rows,
-                shingle_k=self.shingle_k,
-                extra_key_cols=["prefix_key"],
-                hash_fn=hf,
-            )
-            return mention_entity_candidates(
-                mk,
-                ek,
-                max_entity_block=self.max_entity_block,
-                max_candidates_per_mention=self.max_candidates_per_mention,
-                max_key_pairs=self.max_key_pairs,
-            )
+            return self.build_candidates_from(surfaces_t)
 
         # candidates is ALWAYS materialized (r3): it has one data consumer,
         # but the materialization boundary cuts the 24-band blocking subtree
@@ -353,25 +378,8 @@ class LinkagePipeline:
             # (exact for link_best — see two_phase_scored_pairs), and the
             # 256-float vectors joined BY ID only for survivors — the old
             # plan shipped ~2KB of vectors per pair through the candidate
-            # shuffle, which a cluster network would pay ~20x over. The
-            # repartition before the feature UDFs is the salted rebalance
-            # (O7 / north_rule): pair rows are independent, so a
-            # synthetic-key repartition spreads a hot block evenly over
-            # every core.
-            par = self.spark.sparkContext.defaultParallelism
-            scored = two_phase_scored_pairs(
-                cands,
-                surfaces_t,
-                threshold=self.threshold,
-                argmax_prune=False,
-                repartition_to=par,
-            )
-            best = link_best(scored, self.threshold)
-            # carry the surface text so mentions re-attach by text equality
-            return best.join(
-                surfaces_t.select(F.col("id").alias("a"), F.col("text").alias("surf_text")),
-                "a",
-            ).select("a", "b", "score", "surf_text")
+            # shuffle, which a cluster network would pay ~20x over.
+            return self.build_links_from(cands, surfaces_t)
 
         links = stage("links", build_links, inputs=["candidates", "surfaces"])
         count_metric("links", links)
@@ -498,10 +506,9 @@ class LinkagePipeline:
         )
         # same two-phase pruned scorer as run() — vectors join by id only
         # for cheap-score survivors, never through the pair shuffle
-        par = self.spark.sparkContext.defaultParallelism
         scored = two_phase_scored_pairs(
             cands, surf, ent,
-            threshold=self.threshold, argmax_prune=False, repartition_to=par,
+            threshold=self.threshold, argmax_prune=False,
         )
         best = link_best(scored, self.threshold)
         surf_link = best.join(
@@ -570,10 +577,9 @@ class LinkagePipeline:
         # set, so only the threshold-bound prune is lossless here (the
         # argmax bound would drop threshold-passing non-best edges and
         # change the transitive closure)
-        par = self.spark.sparkContext.defaultParallelism
         scored = two_phase_scored_pairs(
             pairs, surf,
-            threshold=thr, argmax_prune=False, repartition_to=par,
+            threshold=thr, argmax_prune=False,
         )
         edges = self._materialize(match_edges(scored, thr))
         comps = connected_components(

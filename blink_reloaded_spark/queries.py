@@ -1352,6 +1352,105 @@ SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos FROM ranked WHERE rank <= {AN
 """
 
 
+# ann07 config: multi-probe at ann05's geometry (VERDICT r3 #5) — 4 of the
+# 16 ann05 tables, each probed at Hamming distance <= 1 (own bucket + 4
+# one-bit flips). Per-table hit prob rises from p^4 ~ 0.16 to
+# p^4 + 4p^3(1-p) ~ 0.53 (p ~ 0.63 on this corpus), so 4 probed tables
+# reach 1-(1-0.53)^4 ~ 0.95 expected recall — ann05's 16-table recall at a
+# quarter of the candidate-side keying/explode cost (the probe explosion is
+# query-side only, and queries are ANN_NQUERY rows).
+ANN07_TABLE_SEEDS = ANN_TABLE_SEEDS[:4]
+ANN07_PROBE_MASKS = (0, 1, 2, 4, 8)
+
+
+def ann07_multiprobe_tables(spark, sf_dir):
+    """Multi-probe OR-amplified ANN: 4 independent 4-plane tables, each
+    probed at Hamming <= 1 on the query side (Lv et al., VLDB'07 multi-probe
+    x the reference's multi-index amplification, `blink/indexer/
+    faiss_indexer.py:71-141`). Candidates are the union over (table, probe)
+    bucket matches, deduped, then exactly re-ranked by cosine top-ANN_K.
+    Same output contract as ann05; the cost moves off the CANDIDATE side
+    (4 keys/vector instead of 16 — the big exploded frame) onto the tiny
+    query side (20 probes/query)."""
+    v = T(spark, sf_dir, "embeddings")
+
+    def table_bucket(s):
+        return emb.hyperplane_bucket(F.col("embedding"), ANN_PLANES, EMB_DIM, seed=s)
+
+    cand_keys = [
+        F.concat_ws("_", F.lit(str(t)), table_bucket(s).cast("string"))
+        for t, s in enumerate(ANN07_TABLE_SEEDS)
+    ]
+    probe_keys = [
+        F.concat_ws(
+            "_",
+            F.lit(str(t)),
+            table_bucket(s).bitwiseXOR(F.lit(m)).cast("string"),
+        )
+        for t, s in enumerate(ANN07_TABLE_SEEDS)
+        for m in ANN07_PROBE_MASKS
+    ]
+    q = v.where(F.col("vec_id") < ANN_NQUERY).select(
+        F.col("vec_id").alias("qid"), F.explode(F.array(*probe_keys)).alias("bk")
+    )
+    c = v.select(F.col("vec_id").alias("nid"), F.explode(F.array(*cand_keys)).alias("bk"))
+    cand = (
+        q.join(c, "bk")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    qv = v.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    nv = v.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    scored = cand.join(qv, "qid").join(nv, "nid").select(
+        "qid", "nid", emb.cosine_similarity(F.col("qv"), F.col("nv")).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= ANN_K)
+        .select("qid", "nid", "rank", "cos")
+    )
+
+
+def _sql_ann07():
+    def bkt(s):
+        return osql.sql_hyperplane_bucket(
+            "embedding", emb._hyperplanes(ANN_PLANES, EMB_DIM, seed=s)
+        )
+
+    cand_keys = ", ".join(
+        f"'{t}_' || CAST({bkt(s)} AS VARCHAR)"
+        for t, s in enumerate(ANN07_TABLE_SEEDS)
+    )
+    probe_keys = ", ".join(
+        f"'{t}_' || CAST(xor({bkt(s)}, {m}) AS VARCHAR)"
+        for t, s in enumerate(ANN07_TABLE_SEEDS)
+        for m in ANN07_PROBE_MASKS
+    )
+    cos = osql.sql_cosine("qe.embedding", "ne.embedding")
+    return f"""
+WITH ck AS (SELECT vec_id, unnest([{cand_keys}]) AS bk FROM embeddings),
+qk AS (SELECT vec_id, unnest([{probe_keys}]) AS bk FROM embeddings
+       WHERE vec_id < {ANN_NQUERY}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+  FROM qk q JOIN ck c ON q.bk = c.bk AND q.vec_id != c.vec_id
+),
+scored AS (
+  SELECT qid, nid, {cos} AS cos
+  FROM cand JOIN embeddings qe ON qe.vec_id = qid
+            JOIN embeddings ne ON ne.vec_id = nid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def _link_toks():
     """Outgoing-'link' list of a document: its distinct >=4-char tokens
     (standing in for linked page titles — same explode->count shape)."""
@@ -1580,6 +1679,7 @@ FROM (SELECT doc_id,
         "ann04_block_matmul": ann04_block_matmul,
         "ann05_multitable_lsh": ann05_multitable_lsh,
         "ann06_multiprobe_lsh": ann06_multiprobe_lsh,
+        "ann07_multiprobe_tables": ann07_multiprobe_tables,
         "linkcount01_incoming": linkcount01_incoming,
         "bm25_01_scored_retrieval": bm25_01_scored_retrieval,
         "multimodal01_metadata": multimodal01_metadata,
@@ -1624,6 +1724,7 @@ FROM (SELECT doc_id,
         "ann04_block_matmul": _sql_ann03(),  # must equal the JVM-side ann03
         "ann05_multitable_lsh": _sql_ann05(),
         "ann06_multiprobe_lsh": _sql_ann06(),
+        "ann07_multiprobe_tables": _sql_ann07(),
         "linkcount01_incoming": _sql_linkcount01(),
         "bm25_01_scored_retrieval": _sql_bm25_01(),
         "multimodal01_metadata": _sql_multimodal01(),

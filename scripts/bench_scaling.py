@@ -40,13 +40,20 @@ from blink_reloaded_spark.session import get_spark
 from blink_reloaded_spark import datagen
 n_convs = int(sys.argv[1]); tpc = int(sys.argv[2]); n_entities = int(sys.argv[3])
 out = sys.argv[4]
+hot_pct = int(os.environ.get("SPARK_GRAFT_HOT_PCT", "30"))
 spark = get_spark(app_name="scaling-gen", master="local[16]",
                   shuffle_partitions=16,
                   extra_conf={"spark.local.dir": "/dev/shm/spark-local"})
 cat = datagen.EntityCatalog.build(n_entities=n_entities)
 tr, _ = datagen.generate_transcripts(spark, cat, n_convs=n_convs,
-                                     turns_per_conv=tpc, hot_conv_factor=100)
-tr.select("conv_id", "turn_idx", "text").write.mode("overwrite").parquet(out)
+                                     turns_per_conv=tpc, hot_conv_factor=100,
+                                     hot_mention_pct=hot_pct)
+# write enough splits that every tested core count can COALESCE into its
+# task layout instead of shuffling the full text column (a 100TB input
+# always has plenty of splits; a 19-split local file would be the
+# small-data artifact) — see operators/mentions.extract_mentions "auto"
+tr.select("conv_id", "turn_idx", "text").repartition(96).write.mode(
+    "overwrite").parquet(out)
 print("GEN_OK", tr.count())
 """
 
@@ -116,6 +123,12 @@ def main() -> None:
     hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     n_entities = int(os.environ.get("SPARK_GRAFT_ENTITIES", "200"))
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+    # hot-SURFACE skew knob (north_rule): % of mention slots drawn as the
+    # single hottest dictionary surface; datagen default 30 (every
+    # committed entry already carries a 30%-hot surface), a _hot60 entry
+    # evidences the skew path explicitly
+    hot_pct = int(os.environ.get("SPARK_GRAFT_HOT_PCT", "30"))
+    hot_tag = f"_hot{hot_pct}" if hot_pct != 30 else ""
 
     inp = "/dev/shm/scaling-input"
     print(_sub(GEN, str(n_convs), str(tpc), str(n_entities), inp), flush=True)
@@ -134,8 +147,9 @@ def main() -> None:
     speedup = r_lo["wall_sec"] / r_hi["wall_sec"]
     efficiency = speedup / (hi / lo)
     result = {
-        "job": f"linkage_pipeline_from_transcripts_{n_entities}ent",
+        "job": f"linkage_pipeline_from_transcripts_{n_entities}ent{hot_tag}",
         "n_entities": n_entities,
+        "hot_mention_pct": hot_pct,
         "n_low": r_lo,
         "n_high": r_hi,
         "trials": {str(c): [r["wall_sec"] for r in rs]
