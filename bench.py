@@ -88,6 +88,9 @@ def main() -> None:
     # measured for regression tracking / deltas, not in the headline total
     extras = {
         "ann03_lsh_topk": lambda: _noop(queries["ann03_lsh_topk"](spark, sf_dir)),
+        "ann07_multiprobe_tables": lambda: _noop(
+            queries["ann07_multiprobe_tables"](spark, sf_dir)
+        ),
         "dedup03_minhash_lsh_xxh": lambda: _noop(
             dedup03_minhash_lsh(spark, sf_dir, hash_fn=xxhash64_mod)
         ),
@@ -118,6 +121,9 @@ def main() -> None:
         ),
         "ann06_at_3": ann_recall_vs_exact(
             queries["ann06_multiprobe_lsh"](spark, sf_dir), exact, k=3
+        ),
+        "ann07_at_5": ann_recall_vs_exact(
+            queries["ann07_multiprobe_tables"](spark, sf_dir), exact, k=5
         ),
     }
     print(f"ann_recall: {ann_recall}", file=sys.stderr)

@@ -125,7 +125,8 @@ def simhash64(toks: Column, nbits: int = 32) -> Column:
 
 
 def id_shingle_hashes(df, id_col: str, shingles: Column, hash_fn=None,
-                      dedup_shingles: bool | None = None):
+                      dedup_shingles: bool | None = None,
+                      carry_cols: list[str] | None = None):
     """(id, h): one row per (id, shingle) with the base hash computed ONCE
     per DISTINCT shingle and joined back.
 
@@ -138,7 +139,9 @@ def id_shingle_hashes(df, id_col: str, shingles: Column, hash_fn=None,
     key IS the shingle), pinned by tests/test_functions.py.
     """
     hf = hash_fn or poly_hash
-    e = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
+    carry = [F.col(c) for c in (carry_cols or [])]
+    e = df.select(F.col(id_col).alias("id"), *carry,
+                  F.explode(shingles).alias("s"))
     if dedup_shingles is None:
         # the distinct-vocabulary pass pays for itself only when the base
         # hash is the INTERPRETED poly_hash aggregate; a native hash_fn
@@ -148,34 +151,42 @@ def id_shingle_hashes(df, id_col: str, shingles: Column, hash_fn=None,
         # passing poly_hash EXPLICITLY (the oracle-parity path) keeps the
         # optimization (ADVICE r3)
         dedup_shingles = hf is poly_hash
+    cnames = list(carry_cols or [])
     if not dedup_shingles:
-        return e.select("id", hf(F.col("s")).alias("h"))
+        return e.select("id", *cnames, hf(F.col("s")).alias("h"))
     dist = e.select("s").distinct().select("s", hf(F.col("s")).alias("h"))
-    return e.join(dist, "s").select("id", "h")
+    return e.join(dist, "s").select("id", *cnames, "h")
 
 
 def minhash_sig_table(
-    df, id_col: str, shingles: Column, num_hashes: int, hash_fn=None
+    df, id_col: str, shingles: Column, num_hashes: int, hash_fn=None,
+    carry_cols: list[str] | None = None,
 ):
-    """Wide MinHash signature table: (id, mh0..mh{n-1}) via explode ->
-    distinct-shingle hash join -> groupBy(id) with map-side partial mins.
-    All expressions stay flat (no nested array lambdas -> codegen holds);
-    the one data shuffle is the groupBy(id). Null-free: empty-shingle ids
-    never appear after explode; positions coalesce to the P sentinel.
-    `hash_fn` (default poly_hash) is the base string hash — pass
-    `xxhash64_mod` for the production fast path."""
-    h = id_shingle_hashes(df, id_col, shingles, hash_fn=hash_fn)
+    """Wide MinHash signature table: (id, [carry_cols...], mh0..mh{n-1})
+    via explode -> distinct-shingle hash join -> groupBy(id) with map-side
+    partial mins. All expressions stay flat (no nested array lambdas ->
+    codegen holds); the one data shuffle is the groupBy(id). Null-free:
+    empty-shingle ids never appear after explode; positions coalesce to the
+    P sentinel. `hash_fn` (default poly_hash) is the base string hash —
+    pass `xxhash64_mod` for the production fast path. `carry_cols`:
+    id-functional columns (e.g. a side flag) carried through the groupBy as
+    extra grouping keys — zero extra shuffle, lets callers key a UNION of
+    tables in one pass and split after."""
+    h = id_shingle_hashes(df, id_col, shingles, hash_fn=hash_fn,
+                          carry_cols=carry_cols)
     aggs = [
         F.coalesce(F.min(perm_hash(F.col("h"), i)), F.lit(P)).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return h.groupBy("id").agg(*aggs)
+    return h.groupBy("id", *(carry_cols or [])).agg(*aggs)
 
 
-def band_keys_from_sig_table(sig, bands: int, rows: int):
-    """(id, block_key) exploded band keys from a minhash_sig_table frame —
-    share one materialized sig table between band keys and signatures
-    instead of recomputing the shingle pass per consumer."""
+def band_keys_from_sig_table(sig, bands: int, rows: int,
+                             carry_cols: list[str] | None = None):
+    """(id, [carry_cols...], block_key) exploded band keys from a
+    minhash_sig_table frame — share one materialized sig table between band
+    keys and signatures instead of recomputing the shingle pass per
+    consumer."""
     keys = [
         F.concat_ws(
             "|",
@@ -187,7 +198,8 @@ def band_keys_from_sig_table(sig, bands: int, rows: int):
         )
         for b in range(bands)
     ]
-    return sig.select("id", F.explode(F.array(*keys)).alias("block_key"))
+    return sig.select("id", *(carry_cols or []),
+                      F.explode(F.array(*keys)).alias("block_key"))
 
 
 def sig_array_from_sig_table(sig, num_hashes: int):
@@ -231,12 +243,15 @@ def minhash_band_keys_exploded(
     bands: int,
     rows: int,
     hash_fn=None,
+    carry_cols: list[str] | None = None,
 ):
-    """Scale-path MinHash-LSH keys: (id, block_key), one row per band.
-    Equivalent by construction to band_keys(minhash_signature_cols(...)) —
-    pinned by a test. `hash_fn` as in minhash_sig_table."""
-    sig = minhash_sig_table(df, id_col, shingles, bands * rows, hash_fn=hash_fn)
-    return band_keys_from_sig_table(sig, bands, rows)
+    """Scale-path MinHash-LSH keys: (id, [carry_cols...], block_key), one
+    row per band. Equivalent by construction to
+    band_keys(minhash_signature_cols(...)) — pinned by a test. `hash_fn`
+    as in minhash_sig_table."""
+    sig = minhash_sig_table(df, id_col, shingles, bands * rows,
+                            hash_fn=hash_fn, carry_cols=carry_cols)
+    return band_keys_from_sig_table(sig, bands, rows, carry_cols=carry_cols)
 
 
 def minhash_signatures_exploded(

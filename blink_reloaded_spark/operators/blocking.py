@@ -39,11 +39,16 @@ def blocking_keys(
     shingle_k: int = 4,
     extra_key_cols: list[str] | None = None,
     hash_fn=None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Emit (id, block_key) — one row per LSH band key (plus any extra keys
-    such as hyperplane buckets or prefix keys passed as columns).
-    `hash_fn`: base string hash for the MinHash kernels (default portable
-    poly_hash; pass hashing.xxhash64_mod for the production fast path)."""
+    """Emit (id, [carry_cols...], block_key) — one row per LSH band key
+    (plus any extra keys such as hyperplane buckets or prefix keys passed
+    as columns). `hash_fn`: base string hash for the MinHash kernels
+    (default portable poly_hash; pass hashing.xxhash64_mod for the
+    production fast path). `carry_cols`: id-functional columns carried
+    through the keying at zero extra shuffle — lets a caller key the UNION
+    of two record sets in ONE pass and split by flag afterwards (one
+    keying job + one materialization instead of two serial ones)."""
     # normalize once per row, not per shingle inside the transform lambda
     norm = df.withColumn("__bk_nt", normalize_text(F.col(text_col)))
     keyed = minhash_band_keys_exploded(
@@ -53,10 +58,12 @@ def blocking_keys(
         bands,
         rows,
         hash_fn=hash_fn,
+        carry_cols=carry_cols,
     )
     if extra_key_cols:
         extra = df.select(
             F.col(id_col).alias("id"),
+            *[F.col(c) for c in (carry_cols or [])],
             F.explode(F.array(*[F.col(c).cast("string") for c in extra_key_cols])).alias(
                 "block_key"
             ),
@@ -150,6 +157,7 @@ def mention_entity_candidates(
     max_entity_block: int | None = None,
     max_candidates_per_mention: int | None = None,
     max_key_pairs: int | None = None,
+    materialize_keys: bool = True,
 ) -> DataFrame:
     """Candidate (mention, entity) pairs: equi-join of the two key tables on
     block_key -> distinct pairs.
@@ -197,9 +205,12 @@ def mention_entity_candidates(
         # subtree, and stage reuse does not reliably dedup it — materialize
         # the skinny (id, block_key) frames once per side (~40B/row) so the
         # keying runs exactly once (same lesson as the scorer's
-        # multi-consumer UDF frames, perf-lessons r3)
-        m = m.localCheckpoint()
-        e = e.localCheckpoint()
+        # multi-consumer UDF frames, perf-lessons r3). materialize_keys=
+        # False when the caller already materialized the key tables (the
+        # pipeline keys both sides in one job and splits by flag).
+        if materialize_keys:
+            m = m.localCheckpoint()
+            e = e.localCheckpoint()
         esz = e.groupBy("block_key").agg(F.count("*").alias("esz"))
         if max_key_pairs is not None:
             msz = m.groupBy("block_key").agg(F.count("*").alias("msz"))

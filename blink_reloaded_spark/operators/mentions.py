@@ -261,7 +261,7 @@ def extract_mentions(
     impl: str = "token",
     with_context: bool = True,
     id_bits: int = 64,
-    partitioning: str = "auto",
+    partitioning: str = "repartition",
 ) -> DataFrame:
     """Extract dictionary mentions from `transcripts(conv_id, turn_idx, text)`.
 
@@ -316,17 +316,15 @@ def extract_mentions(
     # continuously fed, which beats avoiding the text shuffle.)
     # own the parallelism (r1 finding: AQE coalesces small shuffle outputs
     # far below the core count, starving the CPU-heavy matcher), at 3 tasks
-    # per core for straggler smoothing. "auto" (default) COALESCES the
-    # input splits into those tasks when there are enough of them — the
-    # compaction that keeps each Python worker's Arrow stream continuously
-    # fed (r3: no compaction at all was a 40% regression at low core
-    # counts) WITHOUT shuffling the full text column (at 24M turns the
-    # round-robin exchange moves ~2.4GB through shuffle storage at both
-    # core counts; a 100TB input always has enough splits to coalesce).
-    # Falls back to a real repartition when the input is too coarse (a
-    # small checkpoint often reads back as ONE split). Knobs
-    # "repartition"/"coalesce"/"none" force a strategy
-    # (scripts/profile_extraction.py measures them).
+    # per core for straggler smoothing. Default "repartition" (round-robin
+    # exchange): measured r4 at 24M turns, the no-shuffle alternatives
+    # LOSE at high core counts — "coalesce" (merge input splits into the
+    # task layout) was ~1.8x slower at local[8] (79s vs ~43s) while equal
+    # at local[2], and "none" (raw splits) was a 40% regression at low
+    # core counts in r3 — the shuffle's compact row batches feed the
+    # Python workers better than iterating coarse cached/scan partitions.
+    # Knobs "auto"/"coalesce"/"none" remain for measurement
+    # (scripts/profile_extraction.py).
     par = transcripts.sparkSession.sparkContext.defaultParallelism * 3
     if partitioning in ("auto", "coalesce"):
         n_in = cols.rdd.getNumPartitions()

@@ -127,6 +127,7 @@ def two_phase_scored_pairs(
     threshold: float = DEFAULT_THRESHOLD,
     argmax_prune: bool = False,
     repartition_to: int | None = None,
+    vec_join: str | None = None,
 ) -> DataFrame:
     """Score candidate pairs WITHOUT shipping the embedding vectors through
     the pair shuffle (VERDICT r2 #1: at a 20k-entity catalogue the old plan
@@ -234,16 +235,21 @@ def two_phase_scored_pairs(
     vb = b_nodes.select(F.col("id").alias("b"), F.col("vec").alias("b_vec"))
     # b-vec first (survivors are already partitioned by b when
     # repartition_to is off), a-vec last so downstream per-`a` consumers
-    # (link_best) inherit hash(a) partitioning. shuffle_hash hint: the vec
-    # tables are the WIDE dims (~1KB/row); a broadcast join would build a
+    # (link_best) inherit hash(a) partitioning. `vec_join="shuffle_hash"`
+    # (the LARGE-node-table setting, chosen by LinkagePipeline.tuned): the
+    # vec tables are the WIDE dims (~1KB/row); a broadcast join builds a
     # ~100MB+ HashedRelation serially on the driver (core-count-independent
-    # latency — measured as the flat links wall), and at 10^12 turns the
-    # surface-side vec table is unbounded, so broadcast is also the wrong
-    # cluster shape. Shuffled-hash exchanges both sides (scales with
-    # cores) without sort.
+    # latency — measured as a flat links wall at a 20k-entity catalogue),
+    # and at 10^12 turns the surface-side vec table is unbounded, so
+    # broadcast is also the wrong cluster shape. Left None for small node
+    # tables, where forcing exchanges costs ~4s of extra stage boundaries
+    # against a free broadcast (measured at the 200-entity shape).
+    if vec_join:
+        va = va.hint(vec_join)
+        vb = vb.hint(vec_join)
     scored = (
-        survivors.join(vb.hint("shuffle_hash"), "b")
-        .join(va.hint("shuffle_hash"), "a")
+        survivors.join(vb, "b")
+        .join(va, "a")
         .withColumn("cos", _cos_col("a_vec", "b_vec"))
         .withColumn("score", _full_score_col())
     )

@@ -111,6 +111,11 @@ class LinkagePipeline:
     # bit-parity with the DuckDB oracle kernels (the oracle-checked QUERIES
     # keep poly_hash; the pipeline's contract is F1, not hash values).
     blocking_hash_fn: Any = None
+    # scorer vector-join strategy: None lets the planner broadcast (right
+    # for small node tables); "shuffle_hash" for large catalogues, where a
+    # broadcast would serialize a ~100MB+ driver build and the surface-side
+    # table is unbounded at scale. Set by `tuned`.
+    vec_join: str | None = None
     metrics: dict[str, Any] = field(default_factory=dict)
 
     def _blocking_hash(self):
@@ -157,6 +162,7 @@ class LinkagePipeline:
             # entirely non-gold (r3 curve: 50k -> blocked recall 0.9971)
             params["max_key_pairs"] = 15_000
             params["max_candidates_per_mention"] = 16
+            params["vec_join"] = "shuffle_hash"
         params.update(overrides)
         return cls(spark, **params)
 
@@ -164,22 +170,32 @@ class LinkagePipeline:
         """Candidate (mention-surface, entity) pairs from a MATERIALIZED
         surfaces node table (id, text, is_mention, ...): blocking keys ->
         purge -> key equi-join -> top-k budget. Public so the stage can be
-        timed/driven in isolation (scripts/bench_stages.py)."""
+        timed/driven in isolation (scripts/bench_stages.py).
+
+        Both sides are keyed in ONE pass (carry_cols=["is_mention"] rides
+        the flag through the MinHash groupBy) and the combined skinny key
+        table is materialized ONCE — one keying job + one barrier instead
+        of two serial per-side ones, and the purge's two consumers of each
+        key table never recompute the keying subtree."""
         keyed = surfaces_t.withColumn("prefix_key", _prefix_key("text"))
         hf = self._blocking_hash()
-        kw = dict(
+        keys_all = blocking_keys(
+            keyed,
             id_col="id", text_col="text", bands=self.bands, rows=self.rows,
             shingle_k=self.shingle_k, extra_key_cols=["prefix_key"],
-            hash_fn=hf,
+            hash_fn=hf, carry_cols=["is_mention"],
         )
-        mk = blocking_keys(keyed.where("is_mention"), **kw)
-        ek = blocking_keys(keyed.where("NOT is_mention"), **kw)
+        if self.max_entity_block is not None or self.max_key_pairs is not None:
+            keys_all = self._materialize(keys_all)
+        mk = keys_all.where("is_mention").select("id", "block_key")
+        ek = keys_all.where("NOT is_mention").select("id", "block_key")
         return mention_entity_candidates(
             mk,
             ek,
             max_entity_block=self.max_entity_block,
             max_candidates_per_mention=self.max_candidates_per_mention,
             max_key_pairs=self.max_key_pairs,
+            materialize_keys=False,
         )
 
     def build_links_from(
@@ -199,6 +215,7 @@ class LinkagePipeline:
             surfaces_t,
             threshold=self.threshold,
             argmax_prune=False,
+            vec_join=self.vec_join,
         )
         best = link_best(scored, self.threshold)
         # carry the surface text so mentions re-attach by text equality
@@ -509,6 +526,7 @@ class LinkagePipeline:
         scored = two_phase_scored_pairs(
             cands, surf, ent,
             threshold=self.threshold, argmax_prune=False,
+            vec_join=self.vec_join,
         )
         best = link_best(scored, self.threshold)
         surf_link = best.join(
@@ -580,6 +598,7 @@ class LinkagePipeline:
         scored = two_phase_scored_pairs(
             pairs, surf,
             threshold=thr, argmax_prune=False,
+            vec_join=self.vec_join,
         )
         edges = self._materialize(match_edges(scored, thr))
         comps = connected_components(

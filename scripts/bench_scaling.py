@@ -78,12 +78,19 @@ spark.range(int(cpus) * 4).repartition(int(cpus)).select(
 
 cat = datagen.EntityCatalog.build(n_entities=n_entities)
 surfaces = [a["surface"] for a in cat.aliases]
-# identical bytes at every level and trial: read the pre-generated input
-tr = spark.read.parquet(inp).localCheckpoint()
+# identical bytes at every level and trial: read the pre-generated input.
+# Spread to 96 partitions BEFORE the (untimed) localCheckpoint: the parquet
+# reader re-bins small files into ~128MB splits, which would defeat the
+# extractor's no-shuffle coalesce path; a production table at this scale
+# always has a fine-grained layout
+tr = spark.read.parquet(inp).repartition(96).localCheckpoint()
 n_turns = tr.count()
-# steady-state: one small end-to-end warmup (JIT + codegen + JW/dot
-# Python workers) before the single timed run of this JVM
-wtr, _ = datagen.generate_transcripts(spark, cat, n_convs=500,
+# steady-state: one end-to-end warmup (JIT + codegen + JW/dot Python
+# workers) before the single timed run of this JVM. 4000 convs, not a
+# token slice: the scorer/linker plan shapes must run at enough volume
+# that the timed run executes COMPILED code — measured in-job links wall
+# was ~2.5x its isolated-warm cost with a 500-conv warmup
+wtr, _ = datagen.generate_transcripts(spark, cat, n_convs=4000,
                                       turns_per_conv=tpc, hot_conv_factor=10)
 LinkagePipeline.tuned(spark, n_entities, collect_metrics=False).run(
     wtr.select("conv_id", "turn_idx", "text"), cat.entities_df(spark),

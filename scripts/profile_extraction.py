@@ -57,7 +57,7 @@ spark = get_spark(app_name=f"prof-{cpus}-{variant}", master=f"local[{cpus}]",
                   extra_conf={"spark.local.dir": "/dev/shm/spark-local"})
 cat = datagen.EntityCatalog.build(n_entities=200)
 surfaces = [a["surface"] for a in cat.aliases]
-tr = spark.read.parquet(inp).localCheckpoint()
+tr = spark.read.parquet(inp).repartition(96).localCheckpoint()
 n = tr.count()
 # warmup on a slice
 extract_mentions(tr.limit(50000).localCheckpoint(), surfaces,
