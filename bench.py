@@ -179,6 +179,9 @@ def main() -> None:
                 "extras": extra_times,
                 "trials": trials,
                 "trials_per_entry": TRIALS,
+                # a non-default trial count must be self-evident in the
+                # committed artifact, not just a comment (ADVICE r4)
+                "trials_overridden": "SPARK_GRAFT_BENCH_TRIALS" in os.environ,
                 "aggregation": "median",
                 "sf": sf,
                 "pipeline_turns": n_turns,

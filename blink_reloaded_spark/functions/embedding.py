@@ -36,15 +36,19 @@ MAX_CHARS = 256
 _KNUTH = 2654435761  # Fibonacci-hash multiplier
 
 
-@pandas_udf(ArrayType(FloatType()))
-def hashed_embedding_udf(texts: pd.Series) -> pd.Series:
-    """Batch hashed char-trigram embedding: array<float> of length DIM,
-    L2-normalized. Fully numpy-vectorized:
+def _embed_matrix(texts: pd.Series) -> np.ndarray:
+    """Batch hashed char-trigram embedding kernel -> (n, DIM) float32,
+    L2-normalized rows. Fully numpy-vectorized:
 
       codes[B, L]  <- utf-32 char codes of lowercased text (truncated)
       gram[B, L-2] <- c0*0x10000 + c1*0x100 + c2 (trigram id)
       bucket       <- (gram * KNUTH) mod 2^32 mod DIM; sign from bit 31
       out[row, bucket] += sign; L2-normalize rows
+
+    Each output row is a pure per-row function of its input string (batch
+    padding is masked out), so the SAME kernel backs both the stored-vector
+    path (hashed_embedding_udf) and the recompute-from-text cos path
+    (pair_cos_from_text_udf) with bit-identical values.
 
     Char-level features keep typo'd variants ("fgu coerp" ~ "fagu corp")
     cosine-close where token-level features go to zero — the same property
@@ -73,8 +77,45 @@ def hashed_embedding_udf(texts: pd.Series) -> pd.Series:
             rows = np.broadcast_to(np.arange(n)[:, None], g.shape)
             np.add.at(out, (rows[gv], bucket[gv].astype(np.int64)), np.float32(1.0))
     norms = np.linalg.norm(out, axis=1, keepdims=True)
-    out = out / np.maximum(norms, 1e-12)
-    return pd.Series(list(out))
+    return out / np.maximum(norms, 1e-12)
+
+
+@pandas_udf(ArrayType(FloatType()))
+def hashed_embedding_udf(texts: pd.Series) -> pd.Series:
+    """array<float> hashed trigram embedding column (see _embed_matrix)."""
+    return pd.Series(list(_embed_matrix(texts)))
+
+
+@pandas_udf(DoubleType())
+def pair_cos_from_text_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """dot(embed(a), embed(b)) recomputed from the pair TEXTS — bit-identical
+    to joining stored hashed_embedding_udf vectors and running
+    dot_product_udf (same _embed_matrix float32 rows, same float64 einsum),
+    but with ZERO vector joins: at a 20k-entity catalogue the stored-vector
+    path shuffled two ~100MB (id, vec) tables through two extra exchanges
+    per links run (plan audit r5). In-batch unique-string dedup makes the
+    recompute cheap: pair batches repeat surfaces heavily (<=16 candidates
+    per mention surface; hot entities across mentions), so the kernel runs
+    once per DISTINCT string per batch.
+
+    Only valid when the score's vectors ARE the hashed text embedding
+    (LinkagePipeline's case); external model vectors must keep the join
+    path (two_phase_scored_pairs cos_source="join")."""
+    if len(a) == 0:
+        return pd.Series([], dtype=float)
+    av = a.fillna("").astype(str).to_numpy()
+    bv = b.fillna("").astype(str).to_numpy()
+    uniq, inverse = np.unique(np.concatenate([av, bv]), return_inverse=True)
+    emb = _embed_matrix(pd.Series(uniq)).astype(np.float64)
+    ai, bi = inverse[: len(av)], inverse[len(av):]
+    return pd.Series(np.einsum("ij,ij->i", emb[ai], emb[bi]))
+
+
+# deterministic, but marked nondeterministic for the same reason as
+# jaro_winkler_udf (functions/similarity.py): stop Catalyst from inlining
+# the cos column into downstream Filter conditions (match_edges' threshold
+# filter), which would run the kernel twice over the pair frame.
+pair_cos_from_text_udf = pair_cos_from_text_udf.asNondeterministic()
 
 
 @pandas_udf(DoubleType())

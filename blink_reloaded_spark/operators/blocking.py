@@ -151,6 +151,30 @@ def auto_blocking_params(n_catalogue: int) -> dict[str, int]:
     return {"shingle_k": 3, "rows": 2, "bands": 24}
 
 
+def purged_block_keys(
+    flagged_keys: DataFrame,
+    max_entity_block: int | None = None,
+    max_key_pairs: int | None = None,
+) -> DataFrame:
+    """Surviving block keys from a FLAGGED key table (id, is_mention,
+    block_key): per-key mention and entity counts in ONE conditional
+    aggregation — one exchange and one scan of the (large) key table,
+    where the per-side groupBys cost two of each (r5 plan audit: the
+    unmaterialized `ok` subtree was additionally recomputed by each of
+    its two semi-join consumers, so the old shape paid 4 exchanges + 4
+    scans). Cap semantics identical to mention_entity_candidates."""
+    sz = flagged_keys.groupBy("block_key").agg(
+        F.count(F.when(F.col("is_mention"), 1)).alias("msz"),
+        F.count(F.when(~F.col("is_mention"), 1)).alias("esz"),
+    )
+    cond = F.lit(True)
+    if max_entity_block is not None:
+        cond = cond & (F.col("esz") <= max_entity_block)
+    if max_key_pairs is not None:
+        cond = cond & (F.col("esz") * F.col("msz") <= max_key_pairs)
+    return sz.where(cond).select("block_key")
+
+
 def mention_entity_candidates(
     mention_keys: DataFrame,
     entity_keys: DataFrame,
@@ -158,6 +182,8 @@ def mention_entity_candidates(
     max_candidates_per_mention: int | None = None,
     max_key_pairs: int | None = None,
     materialize_keys: bool = True,
+    materializer=None,
+    ok_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (mention, entity) pairs: equi-join of the two key tables on
     block_key -> distinct pairs.
@@ -208,26 +234,43 @@ def mention_entity_candidates(
         # multi-consumer UDF frames, perf-lessons r3). materialize_keys=
         # False when the caller already materialized the key tables (the
         # pipeline keys both sides in one job and splits by flag).
+        # `materializer` (ADVICE r4): callers running a durability contract
+        # (checkpoint_mode="reliable") pass their own materialize callable —
+        # the default localCheckpoint pins blocks to executors, which is
+        # fine on local mode but fatal to the job on executor loss mid-join
+        # on a real cluster (LinkagePipeline threads _materialize through).
+        mat = materializer or (lambda d: d.localCheckpoint())
         if materialize_keys:
-            m = m.localCheckpoint()
-            e = e.localCheckpoint()
-        esz = e.groupBy("block_key").agg(F.count("*").alias("esz"))
-        if max_key_pairs is not None:
-            msz = m.groupBy("block_key").agg(F.count("*").alias("msz"))
-            ok = (
-                esz.join(msz, "block_key")
-                .where(
-                    (F.col("esz") * F.col("msz") <= max_key_pairs)
-                    & (
-                        F.col("esz") <= max_entity_block
-                        if max_entity_block is not None
-                        else F.lit(True)
-                    )
-                )
-                .select("block_key")
-            )
+            m = mat(m)
+            e = mat(e)
+        if ok_keys is not None:
+            # caller precomputed the surviving keys in one pass over its
+            # flagged union table (purged_block_keys) — the sharper shape
+            # when both sides were keyed together (build_candidates_from)
+            ok = ok_keys
         else:
-            ok = esz.where(F.col("esz") <= max_entity_block).select("block_key")
+            esz = e.groupBy("block_key").agg(F.count("*").alias("esz"))
+            if max_key_pairs is not None:
+                msz = m.groupBy("block_key").agg(F.count("*").alias("msz"))
+                ok = (
+                    esz.join(msz, "block_key")
+                    .where(
+                        (F.col("esz") * F.col("msz") <= max_key_pairs)
+                        & (
+                            F.col("esz") <= max_entity_block
+                            if max_entity_block is not None
+                            else F.lit(True)
+                        )
+                    )
+                    .select("block_key")
+                )
+            else:
+                ok = esz.where(F.col("esz") <= max_entity_block).select("block_key")
+            # materialize the (small) survivor-key table: its TWO semi-join
+            # consumers would otherwise each recompute the whole sizing
+            # subtree — 2 extra exchanges + 2 extra key-table scans per run
+            # (r5 plan audit)
+            ok = mat(ok)
         m = m.join(ok, "block_key", "left_semi")
         e = e.join(ok, "block_key", "left_semi")
     if max_candidates_per_mention is None:

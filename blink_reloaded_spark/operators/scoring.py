@@ -128,6 +128,8 @@ def two_phase_scored_pairs(
     argmax_prune: bool = False,
     repartition_to: int | None = None,
     vec_join: str | None = None,
+    cos_source: str = "join",
+    assume_partitioned: bool = False,
 ) -> DataFrame:
     """Score candidate pairs WITHOUT shipping the embedding vectors through
     the pair shuffle (VERDICT r2 #1: at a 20k-entity catalogue the old plan
@@ -181,14 +183,44 @@ def two_phase_scored_pairs(
     exchange was a pure stage-boundary cost (VERDICT r3 #1a). Pass a
     number only when feeding UNBOUNDED per-key pair counts.
 
+    `cos_source` (r5, VERDICT r4 #4 — the links chain's residual fixed
+    latency was its shuffle-stage boundaries): "join" ships the stored
+    `vec` columns to survivors through two id joins (the general path —
+    works for ANY vectors, e.g. real model embeddings); "recompute"
+    re-derives cos from the surviving pair's TEXTS via
+    embedding.pair_cos_from_text_udf — bit-identical scores when `vec` IS
+    the hashed text embedding (the pipeline's case; parity pinned by
+    tests/test_pipeline.py::test_cos_recompute_parity) and removes BOTH
+    vector joins and their four exchanges; a_nodes/b_nodes then don't need
+    a `vec` column at all. At 10^12 turns "recompute" is also the right
+    cluster shape for hashed embeddings: the join path shuffles two
+    |surfaces|-row ~1KB/row vec tables per run, the recompute path does a
+    numpy pass over survivor texts with in-batch distinct-string dedup.
+
+    `assume_partitioned` (r5): skip the initial repartition("a") when the
+    caller KNOWS `cands` is already physically hash(a)-partitioned with
+    adequate parallelism (the pipeline's candidates stage ends in exactly
+    that layout and localCheckpoint preserves physical partitions) — the
+    repartition would be a redundant full exchange of the pair frame. The
+    planner has forgotten the layout (ExistingRDD), so anything requiring
+    hash(a) downstream still inserts its own exchange — but in recompute
+    mode only the post-aggregation skinny frame ever needs one. Leave
+    False for inputs read from parquet (a ~12MB checkpoint reads back as
+    ONE split — serial UDFs).
+
     PLAN SHAPE (VERDICT r3 #1a — every exchange here is a shuffle-stage
     boundary of serial driver/AQE latency, so the chain is ordered to
     reuse partitioning): texts join (a then b) leaves the pair frame
     partitioned by b -> the b-side vector join needs no left exchange ->
     the a-side vector join is the ONE wide-ish pair exchange (carries
     b_vec) and leaves the frame partitioned by a -> link_best's groupBy(a)
-    and the pipeline's surface-text join run exchange-free on top.
+    and the pipeline's surface-text join run exchange-free on top. In
+    cos_source="recompute" mode the chain is flat: texts join (broadcast
+    for bounded dims) -> feature UDFs -> prune filter -> cos UDF -> score,
+    no pair exchange at all.
     """
+    if cos_source not in ("join", "recompute"):
+        raise ValueError(f"cos_source must be 'join' or 'recompute': {cos_source}")
     if b_nodes is None:
         b_nodes = a_nodes
     na_t = a_nodes.select(
@@ -205,7 +237,8 @@ def two_phase_scored_pairs(
     # counts are bounded upstream (top-k budget / max_block), so hash(a)
     # is balanced by construction — the salted-rebalance property of the
     # old round-robin, without shuffling the WIDE text frame.
-    tp = cands.repartition("a").join(na_t, "a").join(nb_t, "b")
+    tp = cands if assume_partitioned else cands.repartition("a")
+    tp = tp.join(na_t, "a").join(nb_t, "b")
     if repartition_to:
         tp = tp.repartition(repartition_to)
     feats = pair_features(tp, a_toks="a_tk", b_toks="b_tk").withColumn(
@@ -231,6 +264,24 @@ def two_phase_scored_pairs(
     survivors = feats.where(F.col("cheap") >= bound - F.lit(margin)).select(
         "a", "b", "a_text", "b_text", "jw", "lev_sim", "jacc", "overlap"
     )
+    if cos_source == "recompute":
+        from blink_reloaded_spark.functions.embedding import (
+            pair_cos_from_text_udf,
+        )
+
+        scored = survivors.withColumn(
+            "cos",
+            F.greatest(
+                F.round(
+                    pair_cos_from_text_udf(F.col("a_text"), F.col("b_text")), 6
+                ),
+                F.lit(0.0),
+            ),
+        ).withColumn("score", _full_score_col())
+        return scored.select(
+            "a", "b", "a_text", "b_text", "jw", "lev_sim", "jacc", "overlap",
+            "cos", "score",
+        )
     va = a_nodes.select(F.col("id").alias("a"), F.col("vec").alias("a_vec"))
     vb = b_nodes.select(F.col("id").alias("b"), F.col("vec").alias("b_vec"))
     # b-vec first (survivors are already partitioned by b when
@@ -265,7 +316,11 @@ def match_edges(scored: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> Data
     )
 
 
-def link_best(scored: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
+def link_best(
+    scored: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    carry: list[str] | None = None,
+) -> DataFrame:
     """Per-mention argmax link (the reference's prediction:
     `np.argmax(logits)` at `bert_reranking.py:223-227` / ranked output at
     `main_dense.py:563-582`): keep the top-1 candidate per `a`, accepted
@@ -277,16 +332,26 @@ def link_best(scored: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFr
     map-side partial aggregation means a hot mention surface with millions
     of candidate rows reduces locally on every task before one tiny shuffle
     — the skew-immunity the north rule wants from salting, by construction.
+
+    `carry` (r5): extra columns of `scored` to ride the max struct and
+    appear in the output — they take the winning row's values. For columns
+    functionally dependent on `a` (e.g. a_text) this lets the caller skip
+    a whole re-attachment join (one fewer exchange/broadcast per run).
     """
+    carry = carry or []
     best = scored.groupBy("a").agg(
         F.max(
             F.struct(
                 F.col("score"),
                 (-F.col("b")).alias("negb"),
                 F.col("b").alias("b"),
+                *[F.col(c).alias(c) for c in carry],
             )
         ).alias("m")
     )
     return best.select(
-        "a", F.col("m.b").alias("b"), F.col("m.score").alias("score")
+        "a",
+        F.col("m.b").alias("b"),
+        F.col("m.score").alias("score"),
+        *[F.col(f"m.{c}").alias(c) for c in carry],
     ).where(F.col("score") >= threshold)

@@ -1,0 +1,63 @@
+"""Process-tree CPU accounting for benchmark metrics (VERDICT r4 #2: the
+sandbox's wall-clock scaling numbers are neighbor-load-dominated; CPU time
+is the noise-immune quantity — another tenant can steal our cores and
+inflate wall, but it cannot inflate the CPU seconds our processes consume).
+
+`tree_cpu_seconds()` sums utime+stime (+reaped-children cutime/cstime) over
+the calling process and every live descendant — the Spark driver JVM AND
+the Python UDF workers, which Spark's own executorCpuTime metric does NOT
+include (a large share of this engine's work runs in Arrow-batched Python).
+Sampling the counter before and after a job gives the job's CPU cost.
+
+Caveat (documented, acceptable for deltas): CPU burned by a descendant that
+exits AND is reaped by an intermediate parent between samples is folded
+into that parent's cutime at reap time, so deltas remain correct; only a
+descendant that dies un-reaped mid-window under-counts. Spark's daemon /
+worker processes live for the session, so steady-state deltas are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _read_stats() -> dict[int, tuple[int, int]]:
+    """pid -> (ppid, total jiffies incl. reaped children)."""
+    out: dict[int, tuple[int, int]] = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                st = f.read()
+        except OSError:  # raced with process exit
+            continue
+        # fields after the parenthesized comm (which may contain spaces)
+        rp = st.rindex(")")
+        fields = st[rp + 2:].split()
+        ppid = int(fields[1])
+        jiffies = (
+            int(fields[11]) + int(fields[12])  # utime + stime
+            + int(fields[13]) + int(fields[14])  # cutime + cstime (reaped)
+        )
+        out[int(p)] = (ppid, jiffies)
+    return out
+
+
+def tree_cpu_seconds(root_pid: int | None = None) -> float:
+    """Total CPU seconds (user+system) consumed by `root_pid` (default: the
+    calling process) and all its live descendants, plus already-reaped
+    children folded into their parents' counters."""
+    tick = os.sysconf("SC_CLK_TCK")
+    stats = _read_stats()
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in stats.items():
+        children.setdefault(ppid, []).append(pid)
+    total = 0
+    stack = [root_pid or os.getpid()]
+    while stack:
+        pid = stack.pop()
+        if pid in stats:
+            total += stats[pid][1]
+            stack.extend(children.get(pid, []))
+    return total / tick

@@ -128,12 +128,18 @@ class CheckpointManager:
                     f"SELECT summary FROM {full}.snapshots"
                     " ORDER BY committed_at DESC LIMIT 1"
                 ).collect()
-                if snap:
-                    summary = snap[0]["summary"]
-                    man["rows"] = int(summary.get("total-records"))
-                    man["n_files"] = int(summary.get("total-data-files"))
             except Exception as exc:  # snapshots metadata table unavailable
                 man["lineage_error"] = repr(exc)
+            else:
+                # guard the key lookups explicitly (ADVICE r4): a missing
+                # summary key must not masquerade as "snapshots unavailable"
+                # — rows/n_files stay None and the absent key is visible
+                if snap:
+                    summary = snap[0]["summary"]
+                    if "total-records" in summary:
+                        man["rows"] = int(summary["total-records"])
+                    if "total-data-files" in summary:
+                        man["n_files"] = int(summary["total-data-files"])
             self._log.append(man)
         else:
             path = self._dir(name)

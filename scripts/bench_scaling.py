@@ -97,13 +97,18 @@ LinkagePipeline.tuned(spark, n_entities, collect_metrics=False).run(
     surfaces=surfaces,
 ).write.format("noop").mode("overwrite").save()
 
+from blink_reloaded_spark.procstat import tree_cpu_seconds
+
 pipe = LinkagePipeline.tuned(spark, n_entities, collect_metrics=False)
+c0 = tree_cpu_seconds()
 t0 = time.time()
 clusters = pipe.run(tr, cat.entities_df(spark), surfaces=surfaces)
 clusters.write.format("noop").mode("overwrite").save()
 wall = time.time() - t0
+cpu = tree_cpu_seconds() - c0
 print(json.dumps({"cpus": int(cpus), "turns": n_turns,
                   "wall_sec": round(wall, 2),
+                  "cpu_sec": round(cpu, 2),
                   "turns_per_sec": round(n_turns / wall, 1),
                   "stage_sec": dict(pipe.metrics)}))
 """
@@ -149,26 +154,56 @@ def main() -> None:
             print(f"trial {t} local[{cpus}]: {r['wall_sec']}s", flush=True)
     shutil.rmtree(inp, ignore_errors=True)
 
+    import statistics
+
     r_lo = min(results[lo], key=lambda r: r["wall_sec"])
     r_hi = min(results[hi], key=lambda r: r["wall_sec"])
-    speedup = r_lo["wall_sec"] / r_hi["wall_sec"]
-    efficiency = speedup / (hi / lo)
+    med = {c: statistics.median(r["wall_sec"] for r in results[c])
+           for c in (lo, hi)}
+    med_cpu = {c: statistics.median(r["cpu_sec"] for r in results[c])
+               for c in (lo, hi)}
+    # headline = MEDIAN-based (ADVICE r4: best-of-trials divides two minima
+    # — upward-biased and inconsistent with bench.py's median rule);
+    # best-based kept alongside for continuity with r2-r4 artifacts
+    efficiency = (med[lo] / med[hi]) / (hi / lo)
+    efficiency_best = (r_lo["wall_sec"] / r_hi["wall_sec"]) / (hi / lo)
+    # CPU-based work-conservation efficiency (VERDICT r4 #2: a metric box
+    # noise can't swamp): total CPU seconds the job consumes at each level
+    # (JVM + Python UDF workers, procstat tree accounting). A neighbor
+    # stealing cores inflates WALL but not our CPU; ratio < 1 means the
+    # higher parallelism level burned MORE CPU for the same job (contention,
+    # spills, duplicated work) — the part of scaling loss that is OURS.
+    # Idle-core loss (stragglers, serial driver latency) shows up in
+    # `utilization` = cpu / (wall * cores) per level instead.
+    efficiency_cpu = med_cpu[lo] / med_cpu[hi]
     result = {
         "job": f"linkage_pipeline_from_transcripts_{n_entities}ent{hot_tag}",
         "n_entities": n_entities,
         "hot_mention_pct": hot_pct,
         "n_low": r_lo,
         "n_high": r_hi,
+        "median_wall_sec": {str(c): round(med[c], 2) for c in (lo, hi)},
+        "median_cpu_sec": {str(c): round(med_cpu[c], 2) for c in (lo, hi)},
+        "utilization": {
+            str(c): round(med_cpu[c] / (med[c] * c), 3) for c in (lo, hi)
+        },
         "trials": {str(c): [r["wall_sec"] for r in rs]
                    for c, rs in results.items()},
-        "speedup": round(speedup, 3),
+        "trials_cpu": {str(c): [r["cpu_sec"] for r in rs]
+                       for c, rs in results.items()},
+        "speedup": round(med[lo] / med[hi], 3),
         "scaling_efficiency": round(efficiency, 3),
+        "scaling_efficiency_best": round(efficiency_best, 3),
+        "scaling_efficiency_cpu": round(efficiency_cpu, 3),
+        "aggregation": "median (best kept as *_best)",
         "note": (
             f"sandbox proxy for N->4N executors: local[{lo}] vs local[{hi}], "
             "identical tmpfs-parquet input, fresh JVM per TRIAL, levels "
             "interleaved, tmpfs shuffle dir, warmed UDF workers + one "
-            f"end-to-end warmup per JVM, best of {trials} trials "
-            "(all trials recorded)"
+            f"end-to-end warmup per JVM, median of {trials} trials "
+            "(all trials recorded); scaling_efficiency_cpu = "
+            "median_cpu_lo/median_cpu_hi (work conservation, neighbor-load-"
+            "immune); utilization = cpu/(wall*cores)"
         ),
     }
     path = os.path.join(ROOT, "BENCH_SCALING.json")

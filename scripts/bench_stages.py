@@ -116,14 +116,20 @@ pipe.build_candidates_from(warm_surf).write.format("noop").mode("overwrite").sav
 warm_cands = cands.limit(20000).repartition(int(cpus)).localCheckpoint()
 pipe.build_links_from(warm_cands, surfaces_t).write.format("noop").mode("overwrite").save()
 
+from blink_reloaded_spark.procstat import tree_cpu_seconds
+
+c0 = tree_cpu_seconds()
 t0 = time.time()
 pipe.build_candidates_from(surfaces_t).write.format("noop").mode("overwrite").save()
 cand_sec = time.time() - t0
+cand_cpu = tree_cpu_seconds() - c0
 
+c0 = tree_cpu_seconds()
 t0 = time.time()
 links = pipe.build_links_from(cands, surfaces_t)
 links.write.format("noop").mode("overwrite").save()
 links_sec = time.time() - t0
+links_cpu = tree_cpu_seconds() - c0
 
 sub = {}
 if os.environ.get("SPARK_GRAFT_SUBSTAGES"):
@@ -148,7 +154,9 @@ if os.environ.get("SPARK_GRAFT_EXPLAIN"):
         f.write(links._jdf.queryExecution().executedPlan().toString())
 
 out = {"cpus": int(cpus), "candidates_sec": round(cand_sec, 2),
-       "links_sec": round(links_sec, 2)}
+       "links_sec": round(links_sec, 2),
+       "candidates_cpu_sec": round(cand_cpu, 2),
+       "links_cpu_sec": round(links_cpu, 2)}
 if sub:
     out["sub"] = sub
 print(json.dumps(out))
@@ -205,22 +213,40 @@ def main() -> None:
     if not os.environ.get("SPARK_GRAFT_KEEP_INPUT"):
         shutil.rmtree(inp, ignore_errors=True)
 
+    import statistics
+
     def best(c, k):
         return min(r[k] for r in results[c])
+
+    def med(c, k):
+        return round(statistics.median(r[k] for r in results[c]), 2)
 
     result = {
         "job": f"stage_isolated_{n_entities}ent",
         "n_entities": n_entities,
-        "candidates_sec": {str(c): best(c, "candidates_sec") for c in (lo, hi)},
-        "links_sec": {str(c): best(c, "links_sec") for c in (lo, hi)},
+        # headline = MEDIAN (ADVICE r4: consistent with bench.py's rule);
+        # best kept alongside for continuity with the r4 artifact
+        "candidates_sec": {str(c): med(c, "candidates_sec") for c in (lo, hi)},
+        "links_sec": {str(c): med(c, "links_sec") for c in (lo, hi)},
+        "candidates_sec_best": {
+            str(c): best(c, "candidates_sec") for c in (lo, hi)
+        },
+        "links_sec_best": {str(c): best(c, "links_sec") for c in (lo, hi)},
+        "candidates_cpu_sec": {
+            str(c): med(c, "candidates_cpu_sec") for c in (lo, hi)
+        },
+        "links_cpu_sec": {str(c): med(c, "links_cpu_sec") for c in (lo, hi)},
+        "aggregation": "median (best kept as *_best)",
         "trials": {str(c): results[c] for c in (lo, hi)},
         "note": (
             f"isolated stage timings on pre-materialized tmpfs inputs, "
             f"fresh JVM per trial, interleaved local[{lo}]/local[{hi}], "
-            f"per-JVM warmup chain, best of {trials} (all trials recorded); "
-            "candidates_sec = blocking+purge+key-join+top-k from the "
-            "surfaces node table; links_sec = two-phase scoring + argmax "
-            "link + surface-text join from the candidate pairs"
+            f"per-JVM warmup chain, median of {trials} (all trials "
+            "recorded); candidates_sec = blocking+purge+key-join+top-k "
+            "from the surfaces node table; links_sec = two-phase scoring + "
+            "argmax link (incl. carried surface text) from the candidate "
+            "pairs; *_cpu_sec = process-tree CPU (JVM + Python workers), "
+            "the neighbor-load-immune cost measure"
         ),
     }
     path = os.path.join(ROOT, "BENCH_STAGES.json")

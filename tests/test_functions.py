@@ -223,3 +223,19 @@ def test_id_shingle_hashes_dedup_keyed_on_resolved_fn(spark):
     assert sorted(map(tuple, explicit.collect())) == sorted(
         map(tuple, default.collect())
     )
+
+
+def test_tree_cpu_seconds_counts_descendants():
+    """procstat.tree_cpu_seconds must attribute a child process's CPU burn
+    to the caller's tree (the basis of the noise-immune scaling metric in
+    scripts/bench_scaling.py)."""
+    import subprocess
+
+    from blink_reloaded_spark.procstat import tree_cpu_seconds
+
+    c0 = tree_cpu_seconds()
+    subprocess.run(
+        ["python", "-c", "x=0\nfor i in range(12_000_000): x+=i"], check=True
+    )
+    delta = tree_cpu_seconds() - c0
+    assert delta > 0.3, delta

@@ -153,6 +153,45 @@ def test_two_phase_scoring_parity(spark, fixture):
     assert n_surv < n_all
 
 
+def test_cos_recompute_parity(spark, fixture):
+    """cos_source='recompute' (r5: dot(embed(a_text), embed(b_text)) on
+    prune survivors, zero vector joins) must produce BIT-IDENTICAL scored
+    output to the stored-vector join path on an all-pairs adversarial set —
+    same kernel, same float64 einsum, so every (jw, cos, score) matches
+    exactly, and the node table needs no vec column at all."""
+    from blink_reloaded_spark.functions.embedding import hashed_embedding_udf
+    from blink_reloaded_spark.functions.text import tokens
+    from blink_reloaded_spark.operators.scoring import two_phase_scored_pairs
+
+    cat, tr, me = fixture
+    nodes = (
+        me.select(F.lower(F.col("mention")).alias("text"))
+        .distinct()
+        .limit(120)
+        .select(
+            F.xxhash64("text").alias("id"),
+            "text",
+            hashed_embedding_udf(F.col("text")).alias("vec"),
+            tokens(F.col("text")).alias("tk"),
+        )
+        .localCheckpoint()
+    )
+    a = nodes.select(F.col("id").alias("a"))
+    b = nodes.select(F.col("id").alias("b"))
+    cands = a.crossJoin(b).where(F.col("a") < F.col("b")).localCheckpoint()
+
+    joined = sorted(map(tuple, two_phase_scored_pairs(
+        cands, nodes, threshold=0.6, cos_source="join"
+    ).collect()))
+    # recompute mode must not touch vec: drop the column entirely
+    recomputed = sorted(map(tuple, two_phase_scored_pairs(
+        cands, nodes.drop("vec"), threshold=0.6, cos_source="recompute"
+    ).collect()))
+    assert recomputed == joined
+    with pytest.raises(ValueError, match="cos_source"):
+        two_phase_scored_pairs(cands, nodes, cos_source="typo")
+
+
 def test_reliable_checkpoint_mode(spark, fixture, tmp_path):
     """checkpoint_mode='reliable' (RDD checkpoint dir — the cluster setting;
     localCheckpoint pins executor memory and dies with the executor) must
