@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType, FloatType
+from pyspark.sql.types import ArrayType, DoubleType, FloatType, LongType
 
 # Encoder output dim. Unsigned counts (not signed feature-hashing): for
 # short surfaces (~12 trigrams) sign cancellation makes similarity noise —
@@ -172,6 +172,62 @@ def _hyperplanes(nplanes: int, dim: int = DIM, seed: int = 42) -> np.ndarray:
     Distinct seeds give INDEPENDENT tables for OR-amplified LSH (ann05)."""
     rng = np.random.RandomState(seed)
     return rng.randn(nplanes, dim).astype(np.float64)
+
+
+@pandas_udf(DoubleType())
+def cosine_raw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Unrounded cosine similarity, numpy-batched — the vectorized
+    replacement for `cosine_similarity`'s interpreted dot+norm aggregates
+    on hot re-rank paths (~192 interpreted ops/pair -> one einsum). Callers
+    apply the same F.round(..., 6) the Column version uses, so rounding
+    semantics (JVM HALF_UP) are identical; the pre-rounding value differs
+    from the sequential JVM sum only in final ulps (oracle hash checks pin
+    the rounded equality)."""
+    if len(a) == 0:
+        return pd.Series([], dtype=float)
+    ma = np.asarray(a.to_list(), dtype=np.float64).reshape(len(a), -1)
+    mb = np.asarray(b.to_list(), dtype=np.float64).reshape(len(b), -1)
+    num = np.einsum("ij,ij->i", ma, mb)
+    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    return pd.Series(num / np.maximum(den, 1e-12))
+
+
+def cosine_similarity_fast(a: Column, b: Column) -> Column:
+    """cosine_similarity semantics (rounded 6dp) on the vectorized kernel."""
+    return F.round(cosine_raw_udf(a, b), 6)
+
+
+def hyperplane_buckets_udf(nplanes: int, dim: int, seeds: tuple[int, ...]):
+    """Factory: pandas UDF computing the hyperplane bucket id for EVERY
+    table seed in ONE Arrow pass -> array<long> of len(seeds), entry t =
+    hyperplane_bucket(vec, nplanes, dim, seed=seeds[t]).
+
+    Same semantics as mapping `hyperplane_bucket` over the seeds, but the
+    multi-table JVM form is the wrong shape for Catalyst AND execution:
+    each table embeds nplanes 64-literal plane arrays with interpreted
+    higher-order dot products — 16 tables x 4 planes is a ~4k-literal
+    expression tree the driver re-analyzes on every query build (measured:
+    ann05's bench wall was dominated by per-trial planning + single-split
+    interpreted dots, 7.7s for a 2.1s-warm query), while here the planes
+    live in ONE numpy (T*P, dim) matrix and the buckets are a single
+    matmul + bit-pack per batch. Sign parity with the sequential JVM dot
+    is pinned by tests/test_oracle_queries (driver hash check) — a sign
+    flip needs |dot| within float rounding of 0 (~1e-14 odds per dot).
+    """
+    planes = np.vstack([_hyperplanes(nplanes, dim, s) for s in seeds])
+    n_tables = len(seeds)
+    weights = (1 << np.arange(nplanes, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.asarray(vecs.to_list(), dtype=np.float64).reshape(len(vecs), -1)
+        bits = (m @ planes.T > 0).astype(np.int64)
+        b = bits.reshape(len(vecs), n_tables, nplanes) @ weights
+        return pd.Series(list(b))
+
+    return _buckets
 
 
 def hyperplane_bucket(

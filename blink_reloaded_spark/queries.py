@@ -1291,17 +1291,21 @@ def ann05_multitable_lsh(spark, sf_dir):
     exact ann01 baseline and records both in BASELINE.md (see the
     ANN_PLANES note above for the tuning math on this corpus)."""
     v = T(spark, sf_dir, "embeddings")
-    keys = [
+    # all 16 table buckets in ONE vectorized pandas UDF (r5): the 16-table
+    # Column form was a ~4k-literal expression tree — per-BUILD Catalyst
+    # analysis dominated the measured wall (7.7s bench median vs 2.1s warm
+    # execution), and the dots ran interpreted. Same bucket ids (sign
+    # parity pinned by the oracle hash check); the index side still carries
+    # 16 keys/vector — ann07 is the 4-key variant.
+    bk16 = emb.hyperplane_buckets_udf(ANN_PLANES, EMB_DIM, ANN_TABLE_SEEDS)
+    keyed = v.select(
+        "vec_id", F.posexplode(bk16(F.col("embedding"))).alias("t", "bucket")
+    ).select(
+        "vec_id",
         F.concat_ws(
-            "_",
-            F.lit(str(t)),
-            emb.hyperplane_bucket(
-                F.col("embedding"), ANN_PLANES, EMB_DIM, seed=s
-            ).cast("string"),
-        )
-        for t, s in enumerate(ANN_TABLE_SEEDS)
-    ]
-    keyed = v.select("vec_id", F.explode(F.array(*keys)).alias("bk"))
+            "_", F.col("t").cast("string"), F.col("bucket").cast("string")
+        ).alias("bk"),
+    )
     q = keyed.where(F.col("vec_id") < ANN_NQUERY).select(
         F.col("vec_id").alias("qid"), "bk"
     )
@@ -1315,7 +1319,9 @@ def ann05_multitable_lsh(spark, sf_dir):
     qv = v.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     nv = v.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
     scored = cand.join(qv, "qid").join(nv, "nid").select(
-        "qid", "nid", emb.cosine_similarity(F.col("qv"), F.col("nv")).alias("cos")
+        "qid",
+        "nid",
+        emb.cosine_similarity_fast(F.col("qv"), F.col("nv")).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
     return (
@@ -1373,27 +1379,40 @@ def ann07_multiprobe_tables(spark, sf_dir):
     (4 keys/vector instead of 16 — the big exploded frame) onto the tiny
     query side (20 probes/query)."""
     v = T(spark, sf_dir, "embeddings")
-
-    def table_bucket(s):
-        return emb.hyperplane_bucket(F.col("embedding"), ANN_PLANES, EMB_DIM, seed=s)
-
-    cand_keys = [
-        F.concat_ws("_", F.lit(str(t)), table_bucket(s).cast("string"))
-        for t, s in enumerate(ANN07_TABLE_SEEDS)
-    ]
-    probe_keys = [
-        F.concat_ws(
-            "_",
-            F.lit(str(t)),
-            table_bucket(s).bitwiseXOR(F.lit(m)).cast("string"),
-        )
-        for t, s in enumerate(ANN07_TABLE_SEEDS)
-        for m in ANN07_PROBE_MASKS
-    ]
-    q = v.where(F.col("vec_id") < ANN_NQUERY).select(
-        F.col("vec_id").alias("qid"), F.explode(F.array(*probe_keys)).alias("bk")
+    # one vectorized bucket UDF for the 4 tables (see ann05 r5 note); the
+    # probe explosion stays query-side Column arithmetic over the tiny
+    # query set
+    bk4 = emb.hyperplane_buckets_udf(ANN_PLANES, EMB_DIM, ANN07_TABLE_SEEDS)
+    keyed = lambda df: df.select(  # noqa: E731
+        "vec_id", F.posexplode(bk4(F.col("embedding"))).alias("t", "bucket")
     )
-    c = v.select(F.col("vec_id").alias("nid"), F.explode(F.array(*cand_keys)).alias("bk"))
+    q = (
+        keyed(v.where(F.col("vec_id") < ANN_NQUERY))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "t",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(m))
+                        for m in ANN07_PROBE_MASKS
+                    ]
+                )
+            ).alias("bucket"),
+        )
+        .select(
+            "qid",
+            F.concat_ws(
+                "_", F.col("t").cast("string"), F.col("bucket").cast("string")
+            ).alias("bk"),
+        )
+    )
+    c = keyed(v).select(
+        F.col("vec_id").alias("nid"),
+        F.concat_ws(
+            "_", F.col("t").cast("string"), F.col("bucket").cast("string")
+        ).alias("bk"),
+    )
     cand = (
         q.join(c, "bk")
         .where(F.col("qid") != F.col("nid"))
@@ -1403,7 +1422,9 @@ def ann07_multiprobe_tables(spark, sf_dir):
     qv = v.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     nv = v.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
     scored = cand.join(qv, "qid").join(nv, "nid").select(
-        "qid", "nid", emb.cosine_similarity(F.col("qv"), F.col("nv")).alias("cos")
+        "qid",
+        "nid",
+        emb.cosine_similarity_fast(F.col("qv"), F.col("nv")).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
     return (
