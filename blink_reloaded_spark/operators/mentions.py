@@ -183,7 +183,15 @@ def _gen_token_vec(surfaces: list[str], with_context: bool = True):
             turn_idxs = pdf["turn_idx"].tolist()
             big = "\x00".join(lows)
             if big:
-                codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+                # ASCII fast path (r5): byte codes are char codes 1:1, so a
+                # uint8 buffer gives identical offsets with 4x less memory
+                # traffic than utf-32 — the matcher is memory-bandwidth-
+                # bound at high core counts. Any non-ASCII batch falls back
+                # to utf-32 char codes (offsets must be CHAR positions).
+                if big.isascii():
+                    codes = np.frombuffer(big.encode("latin-1"), dtype=np.uint8)
+                else:
+                    codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
                 is_tok = ((codes >= 97) & (codes <= 122)) | (
                     (codes >= 48) & (codes <= 57)
                 )
@@ -231,25 +239,45 @@ def _gen_token_vec(surfaces: list[str], with_context: bool = True):
                                        count=len(lows))
                     row_starts = np.zeros(len(lows), dtype=np.int64)
                     np.cumsum(lens[:-1] + 1, out=row_starts[1:])
+                    # leftmost-longest non-overlap resolution: the ONLY
+                    # sequential step, over plain-int candidate spans (r5:
+                    # the old per-match body made a SCALAR np.searchsorted
+                    # call and five np-scalar casts per match — ~45% of
+                    # kernel wall at 2 matches/turn; everything after the
+                    # keep-list is now one vectorized pass)
+                    cs = starts[idxs]
+                    ce = ends[idxs + cand_n[idxs] - 1]
+                    s_l = cs.tolist()
+                    e_l = ce.tolist()
+                    keep: list[int] = []
                     last_end = -1
-                    for i in idxs:
-                        s = int(starts[i])
-                        if s < last_end:
+                    for j in range(len(s_l)):
+                        if s_l[j] < last_end:
                             continue  # inside a previous (longer) match
-                        n = int(cand_n[i])
-                        e = int(ends[i + n - 1])
-                        last_end = e
-                        r = int(np.searchsorted(row_starts, s, side="right")) - 1
-                        rs = int(row_starts[r])
-                        low = lows[r]
-                        out["conv_id"].append(conv_ids[r])
-                        out["turn_idx"].append(turn_idxs[r])
-                        out["start_pos"].append(s - rs)
-                        out["end_pos"].append(e - rs)
-                        out["mention"].append(big[s:e])
-                        if with_context:
-                            out["context_left"].append(low[: s - rs])
-                            out["context_right"].append(low[e - rs :])
+                        keep.append(j)
+                        last_end = e_l[j]
+                    ka = np.asarray(keep, dtype=np.int64)
+                    s_k = cs[ka]
+                    e_k = ce[ka]
+                    rows = np.searchsorted(row_starts, s_k, side="right") - 1
+                    rs = row_starts[rows]
+                    row_l = rows.tolist()
+                    out["conv_id"] = [conv_ids[r] for r in row_l]
+                    out["turn_idx"] = [turn_idxs[r] for r in row_l]
+                    out["start_pos"] = (s_k - rs).tolist()
+                    out["end_pos"] = (e_k - rs).tolist()
+                    out["mention"] = [
+                        big[s:e] for s, e in zip(s_k.tolist(), e_k.tolist())
+                    ]
+                    if with_context:
+                        sp = out["start_pos"]
+                        ep = out["end_pos"]
+                        out["context_left"] = [
+                            lows[r][:p] for r, p in zip(row_l, sp)
+                        ]
+                        out["context_right"] = [
+                            lows[r][p:] for r, p in zip(row_l, ep)
+                        ]
             yield pd.DataFrame(out)
 
     return gen
