@@ -43,11 +43,19 @@ def jaccard_from_counts(n_inter: Column, n_a: Column, n_b: Column) -> Column:
 
 
 def _to_codes(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Pad a string series into a [B, W] uint32 code matrix + lengths, with
+    """Pad a string series into a [B, W] code matrix + lengths, with
     W = the BATCH's max length (<= MAX_LEN), not the global cap: every
     downstream matrix op in the JW kernel is O(B*W), and surface strings
     are ~10-25 chars, so working at the data's width instead of 64 is a
-    ~3x constant-factor win on the hottest UDF in the engine."""
+    ~3x constant-factor win on the hottest UDF in the engine.
+
+    All-ASCII batches (the common case for surface strings) come back as
+    uint8 instead of uint32 — code VALUES are identical, so the kernel's
+    equality comparisons are unchanged, but the matrices move 4x less
+    memory. The kernel is bandwidth-bound at high core counts (measured:
+    1.84x CPU inflation from 2 -> 8 workers on identical work,
+    CPU_CONTENTION.json), so narrower lanes buy both single-core speed
+    and multi-core headroom."""
     vals = s.fillna("").astype(str).str.slice(0, MAX_LEN)
     lens = vals.str.len().to_numpy(dtype=np.int64)
     b = len(vals)
@@ -55,8 +63,11 @@ def _to_codes(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     # one vectorized pass: join, then view as a single code array
     joined = "\x00".join(vals.tolist())
     if not joined:
-        return np.zeros((b, width), dtype=np.uint32), lens
-    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        return np.zeros((b, width), dtype=np.uint8), lens
+    try:
+        codes = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+    except UnicodeEncodeError:
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
     # row starts are fully determined by lens; fill via fancy indexing
     starts = np.zeros(b, dtype=np.int64)
     np.cumsum(lens[:-1] + 1, out=starts[1:])
@@ -65,7 +76,7 @@ def _to_codes(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     valid = col_idx[None, :] < lens[:, None]
     flat_idx = np.where(valid.ravel(), take.ravel(), 0)
     flat = codes[np.minimum(flat_idx, len(codes) - 1)]
-    return np.where(valid, flat.reshape(b, width), 0), lens
+    return np.where(valid, flat.reshape(b, width), 0).astype(codes.dtype), lens
 
 
 def jaro_winkler_np(sa: pd.Series, sb: pd.Series) -> np.ndarray:
@@ -78,6 +89,9 @@ def jaro_winkler_np(sa: pd.Series, sb: pd.Series) -> np.ndarray:
     B = a.shape[0]
     if B == 0:
         return np.zeros(0, dtype=np.float64)
+    if a.dtype != b.dtype:  # one side ASCII, one not: widen both
+        a = a.astype(np.uint32)
+        b = b.astype(np.uint32)
     # common width: pad the narrower matrix (cheap; both <= MAX_LEN)
     W = max(a.shape[1], b.shape[1])
     if a.shape[1] < W:
@@ -85,10 +99,12 @@ def jaro_winkler_np(sa: pd.Series, sb: pd.Series) -> np.ndarray:
     if b.shape[1] < W:
         b = np.pad(b, ((0, 0), (0, W - b.shape[1])))
     lmax = np.maximum(la, lb)
-    # match window: chars equal and |i-j| <= max(lmax/2 - 1, 0)
-    window = np.maximum(lmax // 2 - 1, 0)[:, None]
+    # match window: chars equal and |i-j| <= max(lmax/2 - 1, 0);
+    # int16 lanes (lengths <= MAX_LEN=64) keep the per-iteration band
+    # computation off the 8-byte default-int path
+    window = np.maximum(lmax // 2 - 1, 0)[:, None].astype(np.int16)
 
-    j_idx = np.arange(W)[None, :]
+    j_idx = np.arange(W, dtype=np.int16)[None, :]
     # avail = valid-and-unused b positions; padding cols start unavailable,
     # so a's 0-padding can never match (real codes are >= 1) and the
     # explicit used/valid/nonzero masks of the old kernel collapse into one
@@ -101,7 +117,7 @@ def jaro_winkler_np(sa: pd.Series, sb: pd.Series) -> np.ndarray:
         # arbitrary input: an embedded NUL (code 0 at a valid position of
         # either string) must never match a's zero padding — NUL chars
         # simply never participate in matches (ADVICE r3)
-        cand = (b == ai) & (ai != 0) & avail & (np.abs(j_idx - i) <= window)
+        cand = (b == ai) & (ai != 0) & avail & (np.abs(j_idx - np.int16(i)) <= window)
         take = cand.any(axis=1)
         j = np.argmax(cand, axis=1)
         matched_i[take, i] = True
