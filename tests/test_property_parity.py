@@ -106,3 +106,35 @@ def test_matcher_impl_parity_property(case):
 
     vec, loop, rx = run(_gen_token_vec), run(_gen_token), run(_gen_regex)
     assert vec == loop == rx
+
+
+def test_kernel_dtype_paths_agree():
+    """The byte-lane fast paths (uint8 codes for all-ASCII batches; uint32
+    gram math when codes fit 16 bits) must be value-identical to the wide
+    paths they shortcut. A batch containing ANY non-ASCII string forces the
+    whole batch wide, so scoring the same pair inside an ASCII batch vs
+    alongside a unicode neighbor must agree bit-for-bit; a mixed pair
+    (ASCII a-side, unicode b-side) exercises the widening branch."""
+    from blink_reloaded_spark.functions.embedding import _embed_matrix
+
+    a_ascii = pd.Series(["acme corp", "jopi sys", "zenith ltd", "a\x00b", ""])
+    b_ascii = pd.Series(["acme co", "jopi systems", "zenith", "ab", "x"])
+    narrow = jaro_winkler_np(a_ascii, b_ascii)
+    # same pairs + a unicode row: every shared pair now runs the uint32 path
+    a_wide = pd.concat([a_ascii, pd.Series(["börk"])], ignore_index=True)
+    b_wide = pd.concat([b_ascii, pd.Series(["bork"])], ignore_index=True)
+    wide = jaro_winkler_np(a_wide, b_wide)
+    assert np.array_equal(narrow, wide[:-1])
+    # mixed-dtype pair: a-side batch ASCII, b-side batch non-ASCII
+    mixed = jaro_winkler_np(pd.Series(["acme"]), pd.Series(["acmé"]))
+    assert 0.0 <= float(mixed[0]) <= 1.0
+
+    e_narrow = _embed_matrix(a_ascii)
+    e_wide = _embed_matrix(a_wide)
+    assert np.array_equal(e_narrow, e_wide[:-1])
+    # BMP unicode rides the uint32 gram path; astral codes the uint64 one —
+    # both must L2-normalize and agree with themselves deterministically
+    astral = pd.Series(["deal \U0001F600 corp", "日本語テスト", "acme"])
+    e1, e2 = _embed_matrix(astral), _embed_matrix(astral)
+    assert np.array_equal(e1, e2)
+    assert np.allclose(np.linalg.norm(e1, axis=1), 1.0)
