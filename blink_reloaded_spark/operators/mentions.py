@@ -149,15 +149,19 @@ def _gen_token_vec(surfaces: list[str], with_context: bool = True):
 
       1. join the batch's lowered texts with '\\x00' into one string; token
          spans come from a numpy char-class pass (diff of an is-[a-z0-9]
-         mask over utf-32 codes — no per-token Python), token strings from
-         ONE C-level findall;
+         mask over the code array — no per-token Python), token strings
+         from ONE C-level findall;
       2. 1/2/3-gram dictionary membership via vectorized Series.isin;
          multi-token phrases require an exactly-single-space gap (numpy
-         check on the separator char), and cannot cross rows ('\\x00'
-         breaks both the mask and the gap check);
+         check on the separator char) and cannot cross rows ('\\x00'
+         breaks both the mask and the gap check); the gap guarantee means
+         an n-gram phrase IS the contiguous slice big[starts[i]:ends[i+n-1]]
+         — sliced, not joined;
       3. leftmost-longest non-overlap resolution is a Python loop over the
          CANDIDATE matches only (sparse: ~1 per turn vs ~20 tokens);
-      4. rows recovered by searchsorted over cumulative text offsets.
+      4. rows recovered by searchsorted over cumulative text offsets;
+         output columns are built as numpy arrays (fancy-indexed from the
+         input columns), not per-match Python list appends.
     """
     by_len: dict[int, set[str]] = {1: set(), 2: set(), 3: set()}
     for s in set(surfaces):
@@ -211,16 +215,23 @@ def _gen_token_vec(surfaces: list[str], with_context: bool = True):
                 cand_n = np.zeros(n_tok, dtype=np.int8)
                 if by_len[1]:
                     cand_n = np.where(toks.isin(by_len[1]).to_numpy(), 1, cand_n)
-                # gap between consecutive tokens is exactly one space
+                # gap between consecutive tokens is exactly one space. An
+                # n-gram phrase with the single-space gap IS the contiguous
+                # slice big[starts[i]:ends[i+n-1]] — sliced, not joined.
+                # (A vectorized reduceat polynomial token hash was tried
+                # here in r5 to kill findall+isin: warm it measured ~10%
+                # SLOWER — its ~8 full passes over per-char weight/offset
+                # temporaries outweigh one C findall pass. Keep findall.)
                 if n_tok >= 2 and (by_len[2] or by_len[3]):
                     gap1 = (starts[1:] - ends[:-1] == 1) & (codes[ends[:-1]] == 32)
-                    tarr = toks.to_numpy()
+                    s_list = starts.tolist()
+                    e_list = ends.tolist()
                 if n_tok >= 2 and by_len[2]:
                     at2 = np.flatnonzero(
                         toks.iloc[:-1].isin(first2).to_numpy() & gap1
                     )
-                    for i in at2:
-                        if tarr[i] + " " + tarr[i + 1] in by_len[2]:
+                    for i in at2.tolist():
+                        if big[s_list[i]:e_list[i + 1]] in by_len[2]:
                             cand_n[i] = 2
                 if n_tok >= 3 and by_len[3]:
                     at3 = np.flatnonzero(
@@ -228,8 +239,8 @@ def _gen_token_vec(surfaces: list[str], with_context: bool = True):
                         & gap1[:-1]
                         & gap1[1:]
                     )
-                    for i in at3:
-                        if tarr[i] + " " + tarr[i + 1] + " " + tarr[i + 2] in by_len[3]:
+                    for i in at3.tolist():
+                        if big[s_list[i]:e_list[i + 2]] in by_len[3]:
                             cand_n[i] = 3
                 idxs = np.flatnonzero(cand_n)
                 if len(idxs):
@@ -262,22 +273,30 @@ def _gen_token_vec(surfaces: list[str], with_context: bool = True):
                     rows = np.searchsorted(row_starts, s_k, side="right") - 1
                     rs = row_starts[rows]
                     row_l = rows.tolist()
-                    out["conv_id"] = [conv_ids[r] for r in row_l]
-                    out["turn_idx"] = [turn_idxs[r] for r in row_l]
-                    out["start_pos"] = (s_k - rs).tolist()
-                    out["end_pos"] = (e_k - rs).tolist()
-                    out["mention"] = [
-                        big[s:e] for s, e in zip(s_k.tolist(), e_k.tolist())
-                    ]
+                    # ndarray columns, not per-match list appends: pandas
+                    # wraps them without a sanitize/convert pass (the
+                    # DataFrame build was ~22% of kernel wall as lists)
+                    def _obj(vals: list) -> "np.ndarray":
+                        a = np.empty(len(vals), dtype=object)
+                        a[:] = vals
+                        return a
+
+                    out["conv_id"] = np.asarray(conv_ids, dtype=object)[rows]
+                    out["turn_idx"] = np.asarray(turn_idxs)[rows]
+                    out["start_pos"] = s_k - rs
+                    out["end_pos"] = e_k - rs
+                    out["mention"] = _obj(
+                        [big[s:e] for s, e in zip(s_k.tolist(), e_k.tolist())]
+                    )
                     if with_context:
-                        sp = out["start_pos"]
-                        ep = out["end_pos"]
-                        out["context_left"] = [
-                            lows[r][:p] for r, p in zip(row_l, sp)
-                        ]
-                        out["context_right"] = [
-                            lows[r][p:] for r, p in zip(row_l, ep)
-                        ]
+                        sp = out["start_pos"].tolist()
+                        ep = out["end_pos"].tolist()
+                        out["context_left"] = _obj(
+                            [lows[r][:p] for r, p in zip(row_l, sp)]
+                        )
+                        out["context_right"] = _obj(
+                            [lows[r][p:] for r, p in zip(row_l, ep)]
+                        )
             yield pd.DataFrame(out)
 
     return gen
