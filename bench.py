@@ -39,13 +39,23 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _timed(fn, trials: int = TRIALS) -> list[float]:
-    out = []
+def _timed(fn, trials: int = TRIALS) -> tuple[list[float], list[float]]:
+    """Per-trial (wall, process-tree CPU). The CPU column makes the artifact
+    self-diagnosing (VERDICT r5 #2: er04's driver trials rose 6.8->9.4->15.0s
+    on unchanged code — scripts/diag_er04*.py could not reproduce it, er04 is
+    flat at ~3.2s in isolation AND after the full bench preamble, so the rise
+    was a degrading box window; with CPU recorded, wall rising while CPU
+    stays flat reads as core-steal, both rising as bus-steal/real work)."""
+    from blink_reloaded_spark.procstat import tree_cpu_seconds
+
+    walls, cpus = [], []
     for _ in range(trials):
+        c0 = tree_cpu_seconds()
         t0 = time.time()
         fn()
-        out.append(round(time.time() - t0, 3))
-    return out
+        walls.append(round(time.time() - t0, 3))
+        cpus.append(round(tree_cpu_seconds() - c0, 2))
+    return walls, cpus
 
 
 def main() -> None:
@@ -95,15 +105,30 @@ def main() -> None:
             dedup03_minhash_lsh(spark, sf_dir, hash_fn=xxhash64_mod)
         ),
     }
+    def _gc_nudge():
+        # bound cross-entry JVM state: a driver-GC pass lets ContextCleaner
+        # reclaim superseded localCheckpoint blocks (the CC loop leaves ~3
+        # tiny lazily-checkpointed RDDs per run until the next GC — measured
+        # bounded in scripts/diag_er04_seq.py, but keep entries independent)
+        spark.sparkContext._jvm.System.gc()
+
     times: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
+    trials_cpu: dict[str, list[float]] = {}
     for name in headline:
-        trials[name] = _timed(lambda: _noop(queries[name](spark, sf_dir)))
+        _gc_nudge()
+        trials[name], trials_cpu[name] = _timed(
+            lambda: _noop(queries[name](spark, sf_dir))
+        )
         times[name] = statistics.median(trials[name])
-        print(f"{name}: {times[name]}s {trials[name]}", file=sys.stderr)
+        print(
+            f"{name}: {times[name]}s {trials[name]} cpu {trials_cpu[name]}",
+            file=sys.stderr,
+        )
     extra_times: dict[str, float] = {}
     for name, fn in extras.items():
-        trials[name] = _timed(fn)
+        _gc_nudge()
+        trials[name], trials_cpu[name] = _timed(fn)
         extra_times[name] = statistics.median(trials[name])
         print(f"{name}: {extra_times[name]}s {trials[name]}", file=sys.stderr)
 
@@ -161,7 +186,9 @@ def main() -> None:
 
     # the longest entry is also the most outlier-prone (r4 recorded a 49.3s
     # disk-stall trial next to 14.2/13.0): give the median two extra trials
-    trials["pipeline_linkage"] = _timed(_run_pipeline, trials=max(TRIALS, 5))
+    trials["pipeline_linkage"], trials_cpu["pipeline_linkage"] = _timed(
+        _run_pipeline, trials=max(TRIALS, 5)
+    )
     times["pipeline_linkage"] = statistics.median(trials["pipeline_linkage"])
     turns_per_sec = round(n_turns / times["pipeline_linkage"], 1)
     print(
@@ -180,7 +207,14 @@ def main() -> None:
                 "queries": times,
                 "extras": extra_times,
                 "trials": trials,
-                "trials_per_entry": TRIALS,
+                # per-trial process-tree CPU seconds (driver JVM + Python
+                # workers): wall rising while CPU is flat = core-steal window;
+                # both rising on unchanged code = bus-steal or real regression
+                "trials_cpu": trials_cpu,
+                # actual per-entry counts — pipeline_linkage runs
+                # max(TRIALS, 5), so a single scalar misstates exactly the
+                # headline entry (ADVICE r5)
+                "trials_per_entry": {k: len(v) for k, v in trials.items()},
                 # a non-default trial count must be self-evident in the
                 # committed artifact, not just a comment (ADVICE r4)
                 "trials_overridden": "SPARK_GRAFT_BENCH_TRIALS" in os.environ,

@@ -1,7 +1,14 @@
 """Process-tree CPU accounting for benchmark metrics (VERDICT r4 #2: the
 sandbox's wall-clock scaling numbers are neighbor-load-dominated; CPU time
-is the noise-immune quantity — another tenant can steal our cores and
-inflate wall, but it cannot inflate the CPU seconds our processes consume).
+is the better quantity but NOT fully noise-immune: it is core-steal-immune
+— another tenant taking our cores inflates wall, not our billed CPU — but
+it is NOT bus-steal-immune. Cycles stalled on the shared memory bus bill as
+CPU time, so a host-neighbor bus storm inflates our CPU counters on
+identical work (measured in CPU_CONTENTION.json: kernel CPU inflates
+~2.5x from 2 to 8 concurrent workers on this box, and recheck runs show
+bimodal trials_cpu on unchanged code). Treat cross-window CPU comparisons
+with the same suspicion as wall; only same-window interleaved pairs
+control for it — see scripts/bench_scaling.py's paired estimator.
 
 `tree_cpu_seconds()` sums utime+stime (+reaped-children cutime/cstime) over
 the calling process and every live descendant — the Spark driver JVM AND

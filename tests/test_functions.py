@@ -225,17 +225,69 @@ def test_id_shingle_hashes_dedup_keyed_on_resolved_fn(spark):
     )
 
 
+def test_vectorized_embedding_kernels_match_column_forms(spark):
+    """ADVICE r5: ann05/ann07's oracle-checked cosine and bucket ids come
+    from numpy kernels (einsum / matmul) whose summation order is
+    BLAS/numpy-version dependent, while DuckDB parity was established on
+    the sequential JVM Column forms. Pin kernel == Column on the actual
+    sf0.01 embeddings fixture, so an environment change fails loudly at
+    the kernel instead of as an opaque driver oracle-hash mismatch."""
+    from blink_reloaded_spark.functions import embedding as emb
+    from blink_reloaded_spark.queries import (
+        ANN_PLANES,
+        ANN_TABLE_SEEDS,
+        EMB_DIM,
+    )
+    from tests.conftest import SF_ORACLE
+
+    v = spark.read.parquet(SF_ORACLE + "/embeddings.parquet")
+
+    # rounded cosine: Column form (sequential aggregate sum) vs einsum UDF
+    pairs = v.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("va")
+    ).join(
+        v.select((F.col("vec_id") - 1).alias("ia"), F.col("embedding").alias("vb")),
+        "ia",
+    )
+    mism = (
+        pairs.select(
+            emb.cosine_similarity(F.col("va"), F.col("vb")).alias("c_col"),
+            emb.cosine_similarity_fast(F.col("va"), F.col("vb")).alias("c_np"),
+        )
+        .where(F.col("c_col") != F.col("c_np"))
+        .count()
+    )
+    assert mism == 0
+
+    # all 16 table bucket ids: matmul+bit-pack UDF vs per-seed Column form
+    bk = emb.hyperplane_buckets_udf(ANN_PLANES, EMB_DIM, ANN_TABLE_SEEDS)
+    col_buckets = F.array(
+        *[
+            emb.hyperplane_bucket(F.col("embedding"), ANN_PLANES, EMB_DIM, seed=s)
+            for s in ANN_TABLE_SEEDS
+        ]
+    )
+    bad = (
+        v.select(bk(F.col("embedding")).alias("k"), col_buckets.alias("c"))
+        .where(F.col("k") != F.col("c"))
+        .count()
+    )
+    assert bad == 0
+
+
 def test_tree_cpu_seconds_counts_descendants():
     """procstat.tree_cpu_seconds must attribute a child process's CPU burn
-    to the caller's tree (the basis of the noise-immune scaling metric in
-    scripts/bench_scaling.py)."""
+    to the caller's tree (the basis of the core-steal-immune scaling metric
+    in scripts/bench_scaling.py)."""
     import subprocess
+    import sys
 
     from blink_reloaded_spark.procstat import tree_cpu_seconds
 
     c0 = tree_cpu_seconds()
     subprocess.run(
-        ["python", "-c", "x=0\nfor i in range(12_000_000): x+=i"], check=True
+        [sys.executable, "-c", "x=0\nfor i in range(12_000_000): x+=i"],
+        check=True,
     )
     delta = tree_cpu_seconds() - c0
     assert delta > 0.3, delta
