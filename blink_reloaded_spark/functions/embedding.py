@@ -36,7 +36,29 @@ MAX_CHARS = 256
 _KNUTH = 2654435761  # Fibonacci-hash multiplier
 
 
-def _embed_matrix(texts: pd.Series) -> np.ndarray:
+# Kernel row-tile (same finding as functions/similarity.TILE): the scatter
+# np.add.at writes across the whole (n, DIM) float32 output — 20MB at the
+# 20k-row Arrow batch — and the gram/bucket temporaries stream with it; at
+# 8 workers the memory bus saturates and stalled cycles bill as CPU.
+# Tiling to 2048 rows keeps the output slab (+temporaries) ~2MB per
+# iteration: measured 2->8-worker CPU inflation 1.9-3.1x -> ~1.1x with @2
+# CPU unchanged. Each row is a pure function of its string, so the tile is
+# bit-identical (pinned by tests).
+TILE = 2048
+
+
+def _embed_matrix(texts: pd.Series, tile: int = TILE) -> np.ndarray:
+    """Tiled wrapper over `_embed_block` (see TILE note) — bit-identical,
+    per-row function."""
+    if len(texts) > tile:
+        return np.vstack([
+            _embed_block(texts.iloc[i:i + tile].reset_index(drop=True))
+            for i in range(0, len(texts), tile)
+        ])
+    return _embed_block(texts)
+
+
+def _embed_block(texts: pd.Series) -> np.ndarray:
     """Batch hashed char-trigram embedding kernel -> (n, DIM) float32,
     L2-normalized rows. Fully numpy-vectorized:
 
@@ -120,7 +142,13 @@ def pair_cos_from_text_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series([], dtype=float)
     av = a.fillna("").astype(str).to_numpy()
     bv = b.fillna("").astype(str).to_numpy()
-    uniq, inverse = np.unique(np.concatenate([av, bv]), return_inverse=True)
+    # hash-based dedup (pd.factorize), not np.unique: the sort-based unique
+    # chases PyUnicode pointers O(n log n) across the heap — measured 10x
+    # the CPU of factorize on a 40k-string pair batch, and it was the
+    # largest UNtiled working set left in the links stage's Python workers.
+    # Row values don't depend on uniq order (each embedding row is a pure
+    # per-string function), so the swap is bit-identical.
+    inverse, uniq = pd.factorize(np.concatenate([av, bv]), sort=False)
     emb = _embed_matrix(pd.Series(uniq)).astype(np.float64)
     ai, bi = inverse[: len(av)], inverse[len(av):]
     return pd.Series(np.einsum("ij,ij->i", emb[ai], emb[bi]))

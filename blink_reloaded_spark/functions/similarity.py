@@ -24,6 +24,18 @@ from pyspark.sql.types import DoubleType
 
 MAX_LEN = 64  # mentions/titles are short; longer strings are truncated
 
+# Kernel row-tile: the JW band loop and its argsort/take_along_axis passes
+# stream several [B, W] temporaries per character position; at the Arrow
+# batch size (20k rows) that working set lives in DRAM and 8 concurrent
+# workers saturate the memory bus — stalled cycles bill as CPU time.
+# Measured standalone (JW+embedding under multiprocessing, identical total
+# work, interleaved A/B): 2->8-worker CPU inflation 1.87-3.14x untiled vs
+# 1.02-1.17x at tile 2048, with @2 CPU unchanged and @8 wall ~20% faster —
+# the tile keeps each position-iteration's temporaries inside per-core
+# cache. Outputs are bit-identical (the kernel is a per-row function; the
+# tile only changes the batch grouping), pinned by tests.
+TILE = 2048
+
 
 def levenshtein_sim(a: Column, b: Column) -> Column:
     """1 - levenshtein(a,b)/max(len) — exact rational, rounded to 6dp."""
@@ -79,11 +91,28 @@ def _to_codes(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return np.where(valid, flat.reshape(b, width), 0).astype(codes.dtype), lens
 
 
-def jaro_winkler_np(sa: pd.Series, sb: pd.Series) -> np.ndarray:
+def jaro_winkler_np(sa: pd.Series, sb: pd.Series,
+                    tile: int = TILE) -> np.ndarray:
     """Vectorized Jaro-Winkler over a batch of string pairs. The loop is
     over character POSITIONS (<= the batch's max length), every step a
     whole-batch numpy op — no per-row Python. All working matrices are
-    sized to the batch width W, not the 64-char cap (see _to_codes)."""
+    sized to the batch width W, not the 64-char cap (see _to_codes).
+
+    Batches larger than ``tile`` rows are processed in row tiles so the
+    per-position temporaries stay cache-resident (see TILE) — bit-identical
+    output, the score is a per-row function of (a, b)."""
+    if len(sa) > tile:
+        return np.concatenate([
+            _jaro_winkler_block(
+                sa.iloc[i:i + tile].reset_index(drop=True),
+                sb.iloc[i:i + tile].reset_index(drop=True),
+            )
+            for i in range(0, len(sa), tile)
+        ])
+    return _jaro_winkler_block(sa, sb)
+
+
+def _jaro_winkler_block(sa: pd.Series, sb: pd.Series) -> np.ndarray:
     a, la = _to_codes(sa)
     b, lb = _to_codes(sb)
     B = a.shape[0]

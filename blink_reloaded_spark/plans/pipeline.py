@@ -672,3 +672,132 @@ class LinkagePipeline:
         return ml.join(cmin, "component").select(
             F.col("mention_id").alias("node"), F.col("cluster_id").alias("component")
         )
+
+    def run_kb_free_append(
+        self,
+        new_transcripts: DataFrame,
+        state: DataFrame,
+        surfaces: list[str] | None = None,
+        mentions: DataFrame | None = None,
+        threshold: float | None = None,
+    ) -> DataFrame:
+        """Append-mode KB-free clustering (VERDICT r5 #5a at pipeline
+        level; the oracle-checked query form is queries.er05): merge a NEW
+        batch of transcripts into the cluster state of a previous
+        `run_kb_free` WITHOUT rescoring the old corpus against itself.
+
+        `state` is (mention_id long, mention string, cluster_id long) —
+        the previous run's (node, component) joined back to its mention
+        surfaces (the natural sink schema; `cluster_state` below builds
+        it). Returns the same (node, component) shape as `run_kb_free` on
+        old ∪ new mentions, and — because mention ids are content-hashed
+        (batch-invariant), pair scores are pure functions of the two
+        surfaces, and blocking keys are per-surface pure functions computed
+        over the SAME union frame (identical max_block/max_key_pairs cap
+        decisions) — it returns the IDENTICAL clustering a full-batch
+        re-run would (pinned by tests/test_pipeline.py).
+
+        Scale shape: the state enters as |old distinct surfaces| star
+        edges (no rescoring); the expensive pair scorer runs ONLY on
+        candidate pairs touching a genuinely new surface. The LSH self-join
+        runs over the full surface set (that is what makes the cap
+        decisions — and hence the clustering — batch-invariant), but that
+        join is skinny key tables; at 10^12 turns the delta cost is
+        |new surfaces x blockmates|, not corpus-quadratic.
+        """
+        thr = self.threshold if threshold is None else threshold
+        if mentions is None:
+            assert surfaces is not None, "need surfaces or mentions"
+            mentions = extract_mentions(
+                new_transcripts, surfaces, with_context=False, id_bits=self.id_bits
+            )
+        m_new = mentions.select("mention_id", "mention")
+        m_all = m_new.unionByName(
+            state.select("mention_id", "mention")
+        ).dropDuplicates(["mention_id"])
+
+        surf = self._materialize(
+            self._with_node_cols(
+                m_all.select(F.col("mention").alias("text"))
+                .distinct()
+                .select(F.xxhash64(F.lit("surf"), "text").alias("id"), "text")
+            )
+        )
+        keys = blocking_keys(
+            surf,
+            id_col="id",
+            text_col="text",
+            bands=self.bands,
+            rows=self.rows,
+            shingle_k=self.shingle_k,
+            extra_key_cols=["prefix_key"],
+            hash_fn=self._blocking_hash(),
+        )
+        pairs = candidate_pairs(keys, max_block=self.max_block)
+
+        # surfaces already present in the state: their pairwise closure is
+        # encoded by the star edges below, so only pairs touching a NEW
+        # surface need scoring. The filter runs AFTER candidate_pairs so
+        # the block-size cap decisions are the full-run ones (equivalence).
+        old_surf_comp = (
+            state.select(
+                F.xxhash64(F.lit("surf"), "mention").alias("sid"), "cluster_id"
+            )
+            .distinct()
+        )
+        new_ids = (
+            surf.select("id")
+            .join(old_surf_comp.select(F.col("sid").alias("id")), "id", "left_anti")
+            .withColumn("is_new", F.lit(1))
+        )
+        pairs = (
+            pairs.join(new_ids.select(F.col("id").alias("a"), "is_new"), "a", "left")
+            .join(
+                new_ids.select(
+                    F.col("id").alias("b"), F.col("is_new").alias("is_new_b")
+                ),
+                "b",
+                "left",
+            )
+            .where(F.col("is_new").isNotNull() | F.col("is_new_b").isNotNull())
+            .select("a", "b")
+        )
+        scored = two_phase_scored_pairs(
+            pairs, surf,
+            threshold=thr, argmax_prune=False,
+            vec_join=self.vec_join, cos_source=self.cos_source,
+        )
+        new_edges = match_edges(scored, thr)
+        # star edges: every old surface -> its component's representative
+        # surface (min surface id). In kb-free mode all mentions of one
+        # surface share a cluster, so (surface, cluster_id) is functional.
+        rep = old_surf_comp.groupBy("cluster_id").agg(F.min("sid").alias("rep"))
+        star = old_surf_comp.join(rep, "cluster_id").select(
+            F.col("sid").alias("src"), F.col("rep").alias("dst")
+        )
+        edges = self._materialize(new_edges.unionByName(star))
+        comps = connected_components(
+            edges, nodes=surf.select("id"), checkpoint_mode=self.checkpoint_mode
+        )
+        surf_comp = comps.join(
+            surf.select(F.col("id").alias("node"), F.col("text").alias("mention")),
+            "node",
+        ).select("mention", "component")
+        ml = m_all.join(surf_comp, "mention")
+        cmin = ml.groupBy("component").agg(F.min("mention_id").alias("cluster_id"))
+        return ml.join(cmin, "component").select(
+            F.col("mention_id").alias("node"), F.col("cluster_id").alias("component")
+        )
+
+    @staticmethod
+    def cluster_state(clusters: DataFrame, mentions: DataFrame) -> DataFrame:
+        """Build `run_kb_free_append`'s state table from a run's output:
+        (mention_id, mention, cluster_id) — the schema a production job
+        sinks after every batch and reads back before the next."""
+        return clusters.join(
+            mentions.select(F.col("mention_id").alias("node"), "mention"), "node"
+        ).select(
+            F.col("node").alias("mention_id"),
+            "mention",
+            F.col("component").alias("cluster_id"),
+        )

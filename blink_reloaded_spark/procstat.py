@@ -51,6 +51,30 @@ def _read_stats() -> dict[int, tuple[int, int]]:
     return out
 
 
+def system_cpu_sample() -> dict[str, float]:
+    """Box-wide cumulative CPU seconds from the aggregate ``cpu`` line of
+    /proc/stat (which, in this sandbox, is the HOST view — it includes
+    other tenants' cycles that never appear in our pid namespace's process
+    list). Used by scripts/bench_scaling.py as a per-trial load covariate:
+    (busy-delta − our process-tree CPU) / wall ≈ cores consumed by
+    off-container neighbors during the trial window.
+
+    Keys: ``busy`` (everything except idle+iowait), ``steal`` (cycles the
+    hypervisor ran someone else while this VM was runnable — the direct
+    core-steal signal when present), ``iowait``."""
+    tick = os.sysconf("SC_CLK_TCK")
+    with open("/proc/stat") as f:
+        fields = [int(x) for x in f.readline().split()[1:]]
+    # user nice system idle iowait irq softirq steal guest guest_nice
+    idle, iowait = fields[3], fields[4]
+    steal = fields[7] if len(fields) > 7 else 0
+    return {
+        "busy": (sum(fields) - idle - iowait) / tick,
+        "steal": steal / tick,
+        "iowait": iowait / tick,
+    }
+
+
 def tree_cpu_seconds(root_pid: int | None = None) -> float:
     """Total CPU seconds (user+system) consumed by `root_pid` (default: the
     calling process) and all its live descendants, plus already-reaped

@@ -910,13 +910,31 @@ FROM m WHERE pos > 0
 """
 
 
-def _er_pairs(spark, sf_dir):
-    m = er01_mentions(spark, sf_dir).withColumn(
-        "bk", F.substring("mention", 1, 1)
-    )
+def _er_pairs_of(m):
+    """Prefix-key blocking self-join over a mention frame -> (a, b, ma, mb)
+    with a < b (shared by the full-batch er02/er03/er04 chain and the
+    append-mode er05 delta, which blocks over the SAME frame and filters)."""
+    m = m.withColumn("bk", F.substring("mention", 1, 1))
     a = m.select(F.col("mention_id").alias("a"), F.col("mention").alias("ma"), "bk")
     b = m.select(F.col("mention_id").alias("b"), F.col("mention").alias("mb"), "bk")
     return a.join(b, "bk").where(F.col("a") < F.col("b"))
+
+
+def _er_scored_pairs(p):
+    """er03's scorer (jw*0.6 + lev*0.4, rounded 6dp) over a pair frame."""
+    jw = jaro_winkler_udf(F.col("ma"), F.col("mb"))
+    lev = levenshtein_sim(F.col("ma"), F.col("mb"))
+    return p.select(
+        "a",
+        "b",
+        F.round(jw, 6).alias("jw"),
+        lev.alias("lev_sim"),
+        F.round(jw * 0.6 + lev * 0.4, 6).alias("score"),
+    )
+
+
+def _er_pairs(spark, sf_dir):
+    return _er_pairs_of(er01_mentions(spark, sf_dir))
 
 
 SQL_ER_PAIRS_BASE = """
@@ -944,16 +962,7 @@ def _sql_er02():
 def er03_scored_pairs(spark, sf_dir):
     """U4 pairwise scorer, SQL-parity feature subset (jw + levenshtein —
     DuckDB has both; the embedding feature is covered by pipeline tests)."""
-    p = _er_pairs(spark, sf_dir)
-    jw = jaro_winkler_udf(F.col("ma"), F.col("mb"))
-    lev = levenshtein_sim(F.col("ma"), F.col("mb"))
-    return p.select(
-        "a",
-        "b",
-        F.round(jw, 6).alias("jw"),
-        lev.alias("lev_sim"),
-        F.round(jw * 0.6 + lev * 0.4, 6).alias("score"),
-    )
+    return _er_scored_pairs(_er_pairs(spark, sf_dir))
 
 
 def _sql_er03():
@@ -997,6 +1006,191 @@ reach(u, v) AS (
   SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
 )
 SELECT u AS mention_id, min(v) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+# append-mode split: documents with doc_id < 40 are the EXISTING (already
+# clustered) base batch; 40 <= doc_id < ER_MAX_DOC arrive as the delta.
+# mention_id = doc_id*10 + wid with len(ER_DICT) < 10, so mention ids are
+# monotone in doc_id and "pair touches the delta" <=> b >= 400 (b = the
+# greater id).
+ER_APPEND_SPLIT = 40
+
+
+def er05_incremental_clusters(spark, sf_dir):
+    """Append-mode linkage (VERDICT r5 #5a): a NEW batch of transcripts
+    arrives against an EXISTING cluster state and must merge into it
+    without rescoring the base batch against itself.
+
+    Shape (the 100 TB shape — delta cost, not corpus cost):
+    * state = the base batch's clusters (in production, read back from the
+      previous run's sink; built here by the same operator so the query is
+      self-contained and deterministic) enters the closure as STAR edges
+      (mention -> its cluster representative) — linear in the state, no
+      rescoring;
+    * only pairs TOUCHING the delta are scored (b >= split: ids are
+      monotone in doc_id, and a < b, so both-base pairs are exactly the
+      b < split ones) — |delta x blockmates| comparisons, never the full
+      self-join;
+    * one connected-components pass over star + delta edges re-labels
+      everything, letting a delta mention MERGE two existing clusters.
+
+    The oracle is the FULL-batch recompute (er04's recursive-CTE closure +
+    a batch column): the driver's value-hash check therefore pins the
+    append invariant itself — incremental(state, delta) == batch(full).
+    """
+    split_id = ER_APPEND_SPLIT * 10
+    m = er01_mentions(spark, sf_dir)
+    base_m = m.where(F.col("mention_id") < split_id)
+
+    # ---- prior state: clusters over the base batch only ----
+    base_edges = (
+        _er_scored_pairs(_er_pairs_of(base_m))
+        .where(F.col("score") >= ER_THRESHOLD)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    state = connected_components(
+        base_edges, nodes=base_m.select(F.col("mention_id").alias("node"))
+    )
+
+    # ---- delta: block over the full frame (same keys as the base run),
+    # score ONLY delta-touching pairs ----
+    delta_edges = (
+        _er_scored_pairs(_er_pairs_of(m).where(F.col("b") >= split_id))
+        .where(F.col("score") >= ER_THRESHOLD)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    star = state.select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
+    )
+    cc = connected_components(
+        delta_edges.unionByName(star),
+        nodes=m.select(F.col("mention_id").alias("node")),
+    )
+    return cc.select(
+        F.col("node").alias("mention_id"),
+        F.col("component").alias("cluster_id"),
+        F.when(F.col("node") < split_id, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("batch"),
+    )
+
+
+def _sql_er05():
+    """Full-batch recompute = er04's closure + the batch label; equality
+    with the Spark incremental path IS the append invariant."""
+    return _sql_er04().replace(
+        "SELECT u AS mention_id, min(v) AS cluster_id FROM reach GROUP BY u",
+        f"SELECT u AS mention_id, min(v) AS cluster_id,"
+        f" CAST(CASE WHEN u < {ER_APPEND_SPLIT * 10} THEN 0 ELSE 1 END AS INT)"
+        f" AS batch FROM reach GROUP BY u",
+    )
+
+
+def er06_cluster_drift(spark, sf_dir):
+    """Cluster-quality drift metric (VERDICT r5 #5b): pairwise
+    precision/recall/F1 of run N+1 vs run N over their OVERLAPPING
+    mentions — here run N = the base batch clustered alone, run N+1 = the
+    full corpus after the delta batch merged in (er05's before/after),
+    restricted to base mentions. recall 1.0 with precision < 1.0 reads as
+    "the delta only MERGED existing clusters" (monotone growth — the
+    expected append-mode signature); recall < 1.0 would mean an append
+    SPLIT an existing cluster, which the star-edge construction makes
+    impossible — so this metric doubles as a production invariant check.
+    """
+    split_id = ER_APPEND_SPLIT * 10
+
+    # run N: base batch clustered alone (the er05 state, rebuilt here so
+    # the query is self-contained)
+    m = er01_mentions(spark, sf_dir)
+    base_m = m.where(F.col("mention_id") < split_id)
+    base_edges = (
+        _er_scored_pairs(_er_pairs_of(base_m))
+        .where(F.col("score") >= ER_THRESHOLD)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    prev = connected_components(
+        base_edges, nodes=base_m.select(F.col("mention_id").alias("node"))
+    ).select(F.col("node").alias("mention_id"), F.col("component").alias("c"))
+
+    # run N+1: full clustering, restricted to the overlapping (base) mentions
+    curr = (
+        er04_clusters(spark, sf_dir)
+        .where(F.col("mention_id") < split_id)
+        .select("mention_id", F.col("cluster_id").alias("c"))
+    )
+
+    def _same_cluster_pairs(df):
+        a = df.select(F.col("mention_id").alias("u"), "c")
+        b = df.select(F.col("mention_id").alias("v"), "c")
+        return a.join(b, "c").where(F.col("u") < F.col("v")).select("u", "v")
+
+    pp = _same_cluster_pairs(prev).withColumn("in_prev", F.lit(1))
+    pc = _same_cluster_pairs(curr).withColumn("in_curr", F.lit(1))
+    j = pp.join(pc, ["u", "v"], "full_outer")
+    agg = j.agg(
+        F.sum("in_prev").alias("pairs_prev"),
+        F.sum("in_curr").alias("pairs_curr"),
+        F.sum(F.col("in_prev") * F.col("in_curr")).alias("pairs_both"),
+    )
+    p = F.col("pairs_both") / F.col("pairs_curr")
+    r = F.col("pairs_both") / F.col("pairs_prev")
+    return agg.select(
+        "pairs_prev",
+        "pairs_curr",
+        "pairs_both",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(2 * p * r / (p + r), 6).alias("f1"),
+    )
+
+
+def _sql_er06():
+    base = SQL_ER_PAIRS_BASE.format(tr=SQL_ER_TRANSCRIPTS, dict=SQL_ER_DICT)
+    base = base.replace("WITH tr AS", "WITH RECURSIVE tr AS", 1)
+    jw = osql.sql_jaro_winkler("ma", "mb")
+    lev = osql.sql_levenshtein_sim("ma", "mb")
+    split_id = ER_APPEND_SPLIT * 10
+    return base + f""",
+e AS (SELECT a, b FROM p WHERE round({jw}*0.6 + {lev}*0.4, 6) >= {ER_THRESHOLD}),
+sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+reach(u, v) AS (
+  SELECT mention_id, mention_id FROM m
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+curr AS (SELECT u AS mention_id, min(v) AS c FROM reach
+         WHERE u < {split_id} GROUP BY u),
+eb AS (SELECT a, b FROM e WHERE b < {split_id}),
+symb AS (SELECT a AS u, b AS v FROM eb UNION SELECT b, a FROM eb),
+reachb(u, v) AS (
+  SELECT mention_id, mention_id FROM m WHERE mention_id < {split_id}
+  UNION
+  SELECT r.u, s.v FROM reachb r JOIN symb s ON r.v = s.u
+),
+prev AS (SELECT u AS mention_id, min(v) AS c FROM reachb GROUP BY u),
+pp AS (SELECT x.mention_id AS u, y.mention_id AS v FROM prev x
+       JOIN prev y ON x.c = y.c AND x.mention_id < y.mention_id),
+pc AS (SELECT x.mention_id AS u, y.mention_id AS v FROM curr x
+       JOIN curr y ON x.c = y.c AND x.mention_id < y.mention_id),
+j AS (SELECT coalesce(pp.u, pc.u) AS u, coalesce(pp.v, pc.v) AS v,
+             CASE WHEN pp.u IS NULL THEN NULL ELSE 1 END AS in_prev,
+             CASE WHEN pc.u IS NULL THEN NULL ELSE 1 END AS in_curr
+      FROM pp FULL OUTER JOIN pc ON pp.u = pc.u AND pp.v = pc.v)
+SELECT CAST(sum(in_prev) AS BIGINT) AS pairs_prev,
+       CAST(sum(in_curr) AS BIGINT) AS pairs_curr,
+       CAST(sum(in_prev * in_curr) AS BIGINT) AS pairs_both,
+       round(sum(in_prev * in_curr) / CAST(sum(in_curr) AS DOUBLE), 6)
+         AS precision,
+       round(sum(in_prev * in_curr) / CAST(sum(in_prev) AS DOUBLE), 6)
+         AS recall,
+       round(2 * (sum(in_prev * in_curr) / CAST(sum(in_curr) AS DOUBLE))
+               * (sum(in_prev * in_curr) / CAST(sum(in_prev) AS DOUBLE))
+             / ((sum(in_prev * in_curr) / CAST(sum(in_curr) AS DOUBLE))
+                + (sum(in_prev * in_curr) / CAST(sum(in_prev) AS DOUBLE))), 6)
+         AS f1
+FROM j
 """
 
 
@@ -1708,6 +1902,8 @@ FROM (SELECT doc_id,
         "er02_candidate_pairs": er02_candidate_pairs,
         "er03_scored_pairs": er03_scored_pairs,
         "er04_clusters": er04_clusters,
+        "er05_incremental_clusters": er05_incremental_clusters,
+        "er06_cluster_drift": er06_cluster_drift,
     }
     oracles = {
         "q01_pricing_summary": SQL_Q01,
@@ -1753,5 +1949,7 @@ FROM (SELECT doc_id,
         "er02_candidate_pairs": _sql_er02(),
         "er03_scored_pairs": _sql_er03(),
         "er04_clusters": _sql_er04(),
+        "er05_incremental_clusters": _sql_er05(),
+        "er06_cluster_drift": _sql_er06(),
     }
     return queries, oracles

@@ -9,9 +9,13 @@ Protocol (noisy shared-tenant sandbox -> control what we can):
 * each TRIAL runs in a fresh JVM (subprocess) — no cross-trial block-
   manager/JIT/GC contamination (round-3 finding: repeated trials in one
   JVM drifted +40% run-over-run);
-* levels are INTERLEAVED (lo, hi, lo, hi, ...) so both levels sample the
-  same box-noise distribution — level-coherent noise (neighbor tenants,
-  page cache) otherwise lands entirely on one side of the ratio;
+* levels are INTERLEAVED in PAIRS — pair t runs (lo, hi) on even t and
+  (hi, lo) on odd t, so the two halves of a pair share a box window and
+  linear window drift cancels across pairs; the HEADLINE estimator is the
+  median of per-pair efficiencies (VERDICT r5 #1 — ratio-of-medians is
+  kept alongside but mixes windows), and every trial carries a host-load
+  covariate (procstat.system_cpu_sample: off-container busy cores during
+  the trial) so a noisy pair is attributable rather than anonymous;
 * inside each JVM: UDF worker pool warm + ONE small end-to-end pipeline
   warmup (JIT, codegen caches, Python workers for the JW/dot stages —
   measured: a cold first run is ~2x steady state, and the cold penalty is
@@ -109,6 +113,11 @@ cpu = tree_cpu_seconds() - c0
 print(json.dumps({"cpus": int(cpus), "turns": n_turns,
                   "wall_sec": round(wall, 2),
                   "cpu_sec": round(cpu, 2),
+                  # whole-subprocess tree CPU (gen read + warmup + timed
+                  # run): the parent subtracts this from the host-wide busy
+                  # delta over the subprocess lifetime to estimate
+                  # OFF-container load during the trial window
+                  "proc_cpu_total": round(tree_cpu_seconds(), 2),
                   "turns_per_sec": round(n_turns / wall, 1),
                   "stage_sec": dict(pipe.metrics)}))
 """
@@ -126,6 +135,26 @@ def _sub(code: str, *args: str) -> str:
     if not lines:
         raise RuntimeError(f"subprocess failed:\n{out.stderr[-3000:]}")
     return lines[-1]
+
+
+def _timed_trial(cpus: int, tpc: int, n_entities: int, inp: str) -> dict:
+    """Run one WORKER subprocess and attach the host-load covariate: the
+    box-wide busy-CPU delta over the subprocess lifetime MINUS the CPU our
+    own subprocess tree consumed, divided by its wall — i.e. the average
+    number of cores burned by OFF-container neighbors while this trial ran
+    (VERDICT r5 #1: makes a noisy pair attributable rather than anonymous).
+    /proc/stat here is the host view, so the subtraction is meaningful."""
+    import time
+
+    from blink_reloaded_spark.procstat import system_cpu_sample
+
+    s0, t0 = system_cpu_sample(), time.time()
+    r = json.loads(_sub(WORKER, str(cpus), str(tpc), str(n_entities), inp))
+    s1, sub_wall = system_cpu_sample(), time.time() - t0
+    off_busy = s1["busy"] - s0["busy"] - r.get("proc_cpu_total", 0.0)
+    r["host_offcontainer_cores"] = round(max(off_busy, 0.0) / sub_wall, 2)
+    r["host_steal_cores"] = round((s1["steal"] - s0["steal"]) / sub_wall, 3)
+    return r
 
 
 def main() -> None:
@@ -147,11 +176,16 @@ def main() -> None:
 
     results: dict[int, list[dict]] = {lo: [], hi: []}
     for t in range(trials):
-        for cpus in (lo, hi):  # interleaved: both levels see the same noise
-            r = json.loads(_sub(WORKER, str(cpus), str(tpc),
-                                str(n_entities), inp))
+        # PAIR-ordered interleaving: even pairs run (lo, hi), odd pairs
+        # (hi, lo), so neither level systematically gets the earlier (and
+        # on a drifting box, quieter/noisier) half of its window
+        order = (lo, hi) if t % 2 == 0 else (hi, lo)
+        for cpus in order:
+            r = _timed_trial(cpus, tpc, n_entities, inp)
             results[cpus].append(r)
-            print(f"trial {t} local[{cpus}]: {r['wall_sec']}s", flush=True)
+            print(f"pair {t} local[{cpus}]: {r['wall_sec']}s wall, "
+                  f"{r['cpu_sec']}s cpu, off-container "
+                  f"{r['host_offcontainer_cores']} cores", flush=True)
     shutil.rmtree(inp, ignore_errors=True)
 
     import statistics
@@ -162,20 +196,26 @@ def main() -> None:
            for c in (lo, hi)}
     med_cpu = {c: statistics.median(r["cpu_sec"] for r in results[c])
                for c in (lo, hi)}
-    # headline = MEDIAN-based (ADVICE r4: best-of-trials divides two minima
-    # — upward-biased and inconsistent with bench.py's median rule);
-    # best-based kept alongside for continuity with r2-r4 artifacts
+    # ratio-of-medians (r4/r5 continuity) — mixes box windows
     efficiency = (med[lo] / med[hi]) / (hi / lo)
     efficiency_best = (r_lo["wall_sec"] / r_hi["wall_sec"]) / (hi / lo)
-    # CPU-based work-conservation efficiency (VERDICT r4 #2: a metric box
-    # noise can't swamp): total CPU seconds the job consumes at each level
-    # (JVM + Python UDF workers, procstat tree accounting). A neighbor
-    # stealing cores inflates WALL but not our CPU; ratio < 1 means the
-    # higher parallelism level burned MORE CPU for the same job (contention,
-    # spills, duplicated work) — the part of scaling loss that is OURS.
-    # Idle-core loss (stragglers, serial driver latency) shows up in
-    # `utilization` = cpu / (wall * cores) per level instead.
-    efficiency_cpu = med_cpu[lo] / med_cpu[hi]
+    efficiency_cpu_rom = med_cpu[lo] / med_cpu[hi]
+    # HEADLINE (VERDICT r5 #1): median of PER-PAIR efficiencies — the two
+    # halves of pair t ran back-to-back in the same box window, so window
+    # drift cancels inside each pair instead of landing on one side of a
+    # cross-window ratio. CPU-based pairs measure work conservation
+    # (core-steal-immune, bus-steal shared within the pair's window);
+    # wall-based pairs are the raw throughput view.
+    pair_eff_cpu = [
+        results[lo][t]["cpu_sec"] / results[hi][t]["cpu_sec"]
+        for t in range(trials)
+    ]
+    pair_eff_wall = [
+        (results[lo][t]["wall_sec"] / results[hi][t]["wall_sec"]) / (hi / lo)
+        for t in range(trials)
+    ]
+    efficiency_cpu = statistics.median(pair_eff_cpu)
+    efficiency_wall_paired = statistics.median(pair_eff_wall)
     result = {
         "job": f"linkage_pipeline_from_transcripts_{n_entities}ent{hot_tag}",
         "n_entities": n_entities,
@@ -191,19 +231,33 @@ def main() -> None:
                    for c, rs in results.items()},
         "trials_cpu": {str(c): [r["cpu_sec"] for r in rs]
                        for c, rs in results.items()},
+        "trials_offcontainer_cores": {
+            str(c): [r["host_offcontainer_cores"] for r in rs]
+            for c, rs in results.items()
+        },
+        "pair_eff_cpu": [round(x, 3) for x in pair_eff_cpu],
+        "pair_eff_wall": [round(x, 3) for x in pair_eff_wall],
         "speedup": round(med[lo] / med[hi], 3),
         "scaling_efficiency": round(efficiency, 3),
         "scaling_efficiency_best": round(efficiency_best, 3),
         "scaling_efficiency_cpu": round(efficiency_cpu, 3),
-        "aggregation": "median (best kept as *_best)",
+        "scaling_efficiency_cpu_rom": round(efficiency_cpu_rom, 3),
+        "scaling_efficiency_wall_paired": round(efficiency_wall_paired, 3),
+        "aggregation": (
+            "HEADLINE scaling_efficiency_cpu = median of per-pair CPU "
+            "ratios (pair = back-to-back lo/hi trials sharing a box "
+            "window, order alternating); *_rom = ratio-of-medians kept "
+            "for r4/r5 continuity; *_best kept for r2-r4 continuity"
+        ),
         "note": (
             f"sandbox proxy for N->4N executors: local[{lo}] vs local[{hi}], "
-            "identical tmpfs-parquet input, fresh JVM per TRIAL, levels "
-            "interleaved, tmpfs shuffle dir, warmed UDF workers + one "
-            f"end-to-end warmup per JVM, median of {trials} trials "
-            "(all trials recorded); scaling_efficiency_cpu = "
-            "median_cpu_lo/median_cpu_hi (work conservation, neighbor-load-"
-            "immune); utilization = cpu/(wall*cores)"
+            "identical tmpfs-parquet input, fresh JVM per TRIAL, pair-"
+            "ordered interleaving, tmpfs shuffle dir, warmed UDF workers + "
+            f"one end-to-end warmup per JVM, {trials} pairs (all trials "
+            "recorded); CPU metric is core-steal-immune but NOT bus-steal-"
+            "immune (CPU_CONTENTION.json) — per-trial "
+            "trials_offcontainer_cores records the off-container host load "
+            "so noisy pairs are attributable; utilization = cpu/(wall*cores)"
         ),
     }
     path = os.path.join(ROOT, "BENCH_SCALING.json")

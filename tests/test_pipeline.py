@@ -261,3 +261,34 @@ def test_tuned_pipeline_f1_at_20k_entities(spark):
     sample = me.sample(0.25, seed=7).localCheckpoint()
     m = pairwise_f1(clusters, _labeled_pairs(sample))
     assert m["f1"] >= 0.99, m
+
+
+def test_kb_free_append_equals_full_rerun(spark, fixture):
+    """run_kb_free_append(state(batch0), batch1) must produce the IDENTICAL
+    clustering to run_kb_free(batch0 + batch1): mention ids are content-
+    hashed (batch-invariant), pair scores are pure functions of the two
+    surfaces, and the append path blocks over the full surface union so
+    every block-size cap decision matches the full run. This is the
+    pipeline-level append invariant (the oracle-checked query form is
+    queries.er05_incremental_clusters)."""
+    cat, tr, _ = fixture
+    surfaces = [a["surface"] for a in cat.aliases]
+    pipe = LinkagePipeline(spark)
+
+    # split by conversation: batch0 = the already-clustered corpus,
+    # batch1 = newly arrived transcripts
+    tr0 = tr.where(F.crc32(F.col("conv_id")) % 3 != 0)
+    tr1 = tr.where(F.crc32(F.col("conv_id")) % 3 == 0)
+    assert tr0.count() > 0 and tr1.count() > 0
+
+    from blink_reloaded_spark.operators.mentions import extract_mentions
+
+    m0 = extract_mentions(tr0, surfaces, with_context=False)
+    base = pipe.run_kb_free(tr0, mentions=m0)
+    state = LinkagePipeline.cluster_state(base, m0)
+
+    merged = pipe.run_kb_free_append(tr1, state, surfaces=surfaces)
+    full = pipe.run_kb_free(tr.select(*tr0.columns), surfaces=surfaces)
+
+    diff = merged.exceptAll(full).count() + full.exceptAll(merged).count()
+    assert diff == 0, f"append-mode clustering diverged from full re-run: {diff}"

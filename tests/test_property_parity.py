@@ -138,3 +138,27 @@ def test_kernel_dtype_paths_agree():
     e1, e2 = _embed_matrix(astral), _embed_matrix(astral)
     assert np.array_equal(e1, e2)
     assert np.allclose(np.linalg.norm(e1, axis=1), 1.0)
+
+
+def test_kernel_row_tiling_bit_identical():
+    """The cache-tile wrappers (similarity.TILE / embedding.TILE) must be
+    invisible in values: JW and the trigram embedding are per-row functions,
+    so computing a batch whole vs in row tiles — including a tile boundary
+    that splits ASCII and unicode rows so the two tiles take different
+    dtype fast paths — must agree bit-for-bit."""
+    import random
+
+    from blink_reloaded_spark.functions.embedding import (
+        _embed_block,
+        _embed_matrix,
+    )
+    from blink_reloaded_spark.functions.similarity import _jaro_winkler_block
+
+    rng = random.Random(7)
+    words = ["fejimo corp", "fejimo", "acme systems", "", "jopi widgets ltd",
+             "börk ünïcode", "x" * 80, "a\x00b"]
+    a = pd.Series([rng.choice(words) for _ in range(5003)])
+    b = pd.Series([rng.choice(words) for _ in range(5003)])
+    assert np.array_equal(jaro_winkler_np(a, b, tile=512),
+                          _jaro_winkler_block(a, b))
+    assert np.array_equal(_embed_matrix(a, tile=512), _embed_block(a))
