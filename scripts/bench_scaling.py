@@ -123,6 +123,8 @@ print(json.dumps({"cpus": int(cpus), "turns": n_turns,
 """
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:  # the parent imports procstat for the covariate
+    sys.path.insert(0, ROOT)
 
 
 def _sub(code: str, *args: str) -> str:
