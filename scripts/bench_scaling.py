@@ -127,9 +127,27 @@ if ROOT not in sys.path:  # the parent imports procstat for the covariate
     sys.path.insert(0, ROOT)
 
 
-def _sub(code: str, *args: str) -> str:
+# Pin each measured trial to exactly its core count (taskset 0..N-1),
+# default ON (r6): local[N] alone caps TASK slots at N but lets the JVM's
+# GC/compiler/background threads (sized for the 32-core box) and the
+# shuffle/IO machinery run on every idle core — measured utilization at
+# the "2-core" level was 1.39 cores, i.e. the low level silently borrowed
+# ~40% extra compute, overstating its throughput and biasing efficiency
+# DOWN. The driver's mandate is "the same job at N and 4N CORES"; pinning
+# makes N cores literal (a real 2-core executor cannot run GC on a
+# neighbor's cores). Set SPARK_GRAFT_PIN=0 for the pre-r6 unpinned
+# behavior. Measured on the isolated mentions stage (5.9M turns): pinned
+# CPU inflation 2->8 drops 1.24-1.34x -> 1.05-1.20x and wall efficiency
+# rises 0.66-0.78 -> 0.74-0.88.
+PIN = os.environ.get("SPARK_GRAFT_PIN", "1") != "0"
+
+
+def _sub(code: str, *args: str, pin_cpus: int | None = None) -> str:
+    argv = [sys.executable, "-c", code, *args]
+    if PIN and pin_cpus:
+        argv = ["taskset", "-c", f"0-{pin_cpus - 1}"] + argv
     out = subprocess.run(
-        [sys.executable, "-c", code, *args],
+        argv,
         capture_output=True, text=True, cwd=ROOT,
     )
     lines = [l for l in out.stdout.strip().splitlines()
@@ -151,7 +169,8 @@ def _timed_trial(cpus: int, tpc: int, n_entities: int, inp: str) -> dict:
     from blink_reloaded_spark.procstat import system_cpu_sample
 
     s0, t0 = system_cpu_sample(), time.time()
-    r = json.loads(_sub(WORKER, str(cpus), str(tpc), str(n_entities), inp))
+    r = json.loads(_sub(WORKER, str(cpus), str(tpc), str(n_entities), inp,
+                        pin_cpus=cpus))
     s1, sub_wall = system_cpu_sample(), time.time() - t0
     off_busy = s1["busy"] - s0["busy"] - r.get("proc_cpu_total", 0.0)
     r["host_offcontainer_cores"] = round(max(off_busy, 0.0) / sub_wall, 2)
@@ -218,10 +237,36 @@ def main() -> None:
     ]
     efficiency_cpu = statistics.median(pair_eff_cpu)
     efficiency_wall_paired = statistics.median(pair_eff_wall)
+    # Covariate-gated view (VERDICT r5 #1's second acceptance path): a pair
+    # is QUIET when neither half saw >= 0.5 off-container busy cores while
+    # it ran. The gate is on the covariate, never on the measured outcome —
+    # the threshold is pre-registered here, and the full ungated pair list
+    # stays the headline alongside. Rationale: the r6 24M campaign showed
+    # pair efficiency falling monotonically with the @8 half's neighbor
+    # load (0.22 cores -> 0.896, 0.88 -> 0.715, 1.03 -> 0.340) — neighbor
+    # load is an off-container nuisance variable a real cluster would not
+    # share with this single box.
+    QUIET_CORES = 0.5
+    pair_load = [
+        max(results[lo][t]["host_offcontainer_cores"],
+            results[hi][t]["host_offcontainer_cores"])
+        for t in range(trials)
+    ]
+    quiet_cpu = [pair_eff_cpu[t] for t in range(trials)
+                 if pair_load[t] < QUIET_CORES]
+    quiet_wall = [pair_eff_wall[t] for t in range(trials)
+                  if pair_load[t] < QUIET_CORES]
+    efficiency_cpu_quiet = (
+        round(statistics.median(quiet_cpu), 3) if quiet_cpu else None
+    )
+    efficiency_wall_quiet = (
+        round(statistics.median(quiet_wall), 3) if quiet_wall else None
+    )
     result = {
         "job": f"linkage_pipeline_from_transcripts_{n_entities}ent{hot_tag}",
         "n_entities": n_entities,
         "hot_mention_pct": hot_pct,
+        "pinned_cores": PIN,
         "n_low": r_lo,
         "n_high": r_hi,
         "median_wall_sec": {str(c): round(med[c], 2) for c in (lo, hi)},
@@ -239,6 +284,11 @@ def main() -> None:
         },
         "pair_eff_cpu": [round(x, 3) for x in pair_eff_cpu],
         "pair_eff_wall": [round(x, 3) for x in pair_eff_wall],
+        "pair_offcontainer_cores": [round(x, 2) for x in pair_load],
+        "quiet_pair_gate_cores": QUIET_CORES,
+        "quiet_pairs_n": len(quiet_cpu),
+        "scaling_efficiency_cpu_quiet": efficiency_cpu_quiet,
+        "scaling_efficiency_wall_quiet": efficiency_wall_quiet,
         "speedup": round(med[lo] / med[hi], 3),
         "scaling_efficiency": round(efficiency, 3),
         "scaling_efficiency_best": round(efficiency_best, 3),
@@ -248,12 +298,21 @@ def main() -> None:
         "aggregation": (
             "HEADLINE scaling_efficiency_cpu = median of per-pair CPU "
             "ratios (pair = back-to-back lo/hi trials sharing a box "
-            "window, order alternating); *_rom = ratio-of-medians kept "
-            "for r4/r5 continuity; *_best kept for r2-r4 continuity"
+            "window, order alternating); *_cpu_quiet/*_wall_quiet = same "
+            "median over pairs whose covariate (max off-container busy "
+            "cores across the two halves) < quiet_pair_gate_cores — gated "
+            "on the covariate only, pre-registered; *_rom = ratio-of-"
+            "medians kept for r4/r5 continuity; *_best kept for r2-r4 "
+            "continuity"
         ),
         "note": (
-            f"sandbox proxy for N->4N executors: local[{lo}] vs local[{hi}], "
-            "identical tmpfs-parquet input, fresh JVM per TRIAL, pair-"
+            f"sandbox proxy for N->4N executors: local[{lo}] vs local[{hi}]"
+            + (f", each trial taskset-pinned to its {lo}/{hi} cores (an "
+               "honest N-core executor: unpinned, the low level's JVM "
+               "background threads borrowed ~40% extra compute — "
+               "utilization@2 was 1.39)" if PIN else " (UNPINNED — pre-r6 "
+               "protocol)")
+            + ", identical tmpfs-parquet input, fresh JVM per TRIAL, pair-"
             "ordered interleaving, tmpfs shuffle dir, warmed UDF workers + "
             f"one end-to-end warmup per JVM, {trials} pairs (all trials "
             "recorded); CPU metric is core-steal-immune but NOT bus-steal-"
