@@ -368,11 +368,25 @@ class LinkagePipeline:
         # -- 1. mentions ----------------------------------------------------
         def build_mentions() -> DataFrame:
             if mentions is not None:
-                return mentions
-            assert surfaces is not None, "need surfaces or mentions"
-            return extract_mentions(
-                transcripts, surfaces, with_context=False, id_bits=self.id_bits
-            )
+                m_full = mentions
+            else:
+                assert surfaces is not None, "need surfaces or mentions"
+                m_full = extract_mentions(
+                    transcripts, surfaces, with_context=False,
+                    id_bits=self.id_bits,
+                )
+            if ckpt is None:
+                # No resume store: run() only ever consumes (mention_id,
+                # mention) downstream (m_slim), so materialize the slim
+                # projection — the conv/turn/position columns exist for the
+                # checkpoint artifact's resume contract and would double the
+                # block-store bytes here for nothing. Measured (5.9M turns,
+                # pinned cores): the stage-materialization java CPU is the
+                # part of the mentions stage that inflates most from 2->8
+                # cores (+6s@2 vs +11s@8 over a noop sink), so halving the
+                # stored bytes directly improves scaling efficiency.
+                return m_full.select("mention_id", "mention")
+            return m_full
 
         m = stage("mentions", build_mentions, inputs=["transcripts"])
         count_metric("mentions", m)
@@ -627,8 +641,13 @@ class LinkagePipeline:
             mentions = extract_mentions(
                 transcripts, surfaces, with_context=False, id_bits=self.id_bits
             )
-        m = self._materialize(mentions) if self.checkpoint_dir is None else mentions
-        m_slim = m.select("mention_id", "mention")
+        # materialize only the consumed projection (same rationale as
+        # run()'s mentions stage: the conv/turn/position columns are resume
+        # artifacts, and block-store bytes are the part of stage
+        # materialization whose CPU inflates most with core count)
+        m_slim = mentions.select("mention_id", "mention")
+        if self.checkpoint_dir is None:
+            m_slim = self._materialize(m_slim)
 
         surf = self._materialize(
             self._with_node_cols(
