@@ -110,7 +110,16 @@ def main() -> None:
     c20 = LinkagePipeline.tuned(spark, 20_000, collect_metrics=False).run(
         tr20, cat20.entities_df(spark), mentions=me20
     ).localCheckpoint()
-    sample = me20.sample(0.25, seed=7).localCheckpoint()
+    # content-hashed 25% sample, NOT df.sample(fraction, seed): Spark's
+    # sample draws per-partition, so the picked rows depend on the physical
+    # row->partition layout — measured: identical code, two sessions, the
+    # golden f1 wobbled in its 6th decimal while the cluster assignments
+    # were bit-identical (diffed row-by-row). A hash of the row's id is a
+    # pure function of content, so the labeled-pair sample (and hence the
+    # golden numbers) is now session-invariant.
+    sample = me20.where(
+        F.pmod(F.xxhash64("mention_id", F.lit(7)), F.lit(4)) == 0
+    ).localCheckpoint()
     rows.append(
         _row("large_cat_20k", c20, _labeled_pairs(sample), me20.count(),
              time.time() - t0)
