@@ -59,19 +59,24 @@ def system_cpu_sample() -> dict[str, float]:
     (busy-delta − our process-tree CPU) / wall ≈ cores consumed by
     off-container neighbors during the trial window.
 
-    Keys: ``busy`` (everything except idle+iowait), ``steal`` (cycles the
-    hypervisor ran someone else while this VM was runnable — the direct
-    core-steal signal when present), ``iowait``."""
+    Keys: ``busy`` (user+nice+system+irq+softirq — NOT sum-minus-idle,
+    which double-counts guest/guest_nice (Linux folds guest time into
+    user/nice already) and folds steal into busy, overstating the
+    covariate on hosts that report those fields — ADVICE r6), ``steal``
+    (cycles the hypervisor ran someone else while this VM was runnable —
+    the direct core-steal signal, reported separately), ``iowait``."""
     tick = os.sysconf("SC_CLK_TCK")
     with open("/proc/stat") as f:
         fields = [int(x) for x in f.readline().split()[1:]]
     # user nice system idle iowait irq softirq steal guest guest_nice
-    idle, iowait = fields[3], fields[4]
-    steal = fields[7] if len(fields) > 7 else 0
+    def _f(i: int) -> int:
+        return fields[i] if len(fields) > i else 0
+
+    busy = _f(0) + _f(1) + _f(2) + _f(5) + _f(6)
     return {
-        "busy": (sum(fields) - idle - iowait) / tick,
-        "steal": steal / tick,
-        "iowait": iowait / tick,
+        "busy": busy / tick,
+        "steal": _f(7) / tick,
+        "iowait": _f(4) / tick,
     }
 
 
@@ -92,3 +97,43 @@ def tree_cpu_seconds(root_pid: int | None = None) -> float:
             total += stats[pid][1]
             stack.extend(children.get(pid, []))
     return total / tick
+
+
+# ---------------------------------------------------------------------------
+# fixed-work canary (VERDICT r6 #1/#2: the off-container busy-core covariate
+# is blind to BUS steal — another tenant saturating the shared memory bus
+# shows zero busy cores in our /proc view yet inflates every memory-bound
+# cycle we bill. A fixed-work probe is not blind: its wall time IS the
+# box-health measurement.)
+# ---------------------------------------------------------------------------
+
+_CANARY_WORDS = 1 << 25  # 256 MiB of float64 — far larger than LLC, so the
+#                          streaming sum is memory-bandwidth-bound: sensitive
+#                          to bus pressure AND to core-steal (fixed work
+#                          descheduled = longer wall), the two nuisances the
+#                          scaling/bench artifacts need to see per-trial
+_canary_buf = None
+
+
+def canary_seconds(passes: int = 8) -> float:
+    """Wall seconds for a FIXED amount of single-threaded, memory-streaming
+    work (`passes` full sums over a 256 MiB float64 buffer, ~0.25 s on this
+    box when quiet). Identical work every call, so the ratio of two samples
+    is a direct box-slowdown factor; min-over-a-campaign is the healthy
+    reference. The buffer is allocated once per process (allocation/fault-in
+    cost is excluded from every sample, including the first)."""
+    global _canary_buf
+    import time
+
+    import numpy as np
+
+    if _canary_buf is None:
+        _canary_buf = np.arange(_CANARY_WORDS, dtype=np.float64)
+        _canary_buf.sum()  # fault the pages in before the first timing
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(passes):
+        acc += float(_canary_buf.sum())
+    dt = time.perf_counter() - t0
+    assert acc != 0.0  # keep the loop un-elidable
+    return round(dt, 4)
