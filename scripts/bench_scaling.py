@@ -101,22 +101,38 @@ LinkagePipeline.tuned(spark, n_entities, collect_metrics=False).run(
     surfaces=surfaces,
 ).write.format("noop").mode("overwrite").save()
 
-from blink_reloaded_spark.procstat import tree_cpu_seconds
+from blink_reloaded_spark.procstat import (
+    canary_seconds, system_cpu_sample, tree_cpu_seconds,
+)
 
 pipe = LinkagePipeline.tuned(spark, n_entities, collect_metrics=False)
+# fixed-work canary + host CPU sample bracketing EXACTLY the timed region
+# (ADVICE r6: the lifetime-average covariate dilutes a neighbor burst
+# concentrated in the measured window below the quiet gate; the canary is
+# additionally the bus-health instrument the /proc covariate is blind to)
+can0 = canary_seconds()
+s0 = system_cpu_sample()
 c0 = tree_cpu_seconds()
 t0 = time.time()
 clusters = pipe.run(tr, cat.entities_df(spark), surfaces=surfaces)
 clusters.write.format("noop").mode("overwrite").save()
 wall = time.time() - t0
 cpu = tree_cpu_seconds() - c0
+s1 = system_cpu_sample()
+can1 = canary_seconds()
 print(json.dumps({"cpus": int(cpus), "turns": n_turns,
                   "wall_sec": round(wall, 2),
                   "cpu_sec": round(cpu, 2),
+                  # host-wide busy/steal CPU over the timed window only —
+                  # the parent derives the in-window off-container covariate
+                  # as (sys_busy_delta - cpu_sec) / wall_sec
+                  "sys_busy_delta": round(s1["busy"] - s0["busy"], 2),
+                  "sys_steal_delta": round(s1["steal"] - s0["steal"], 2),
+                  # fixed-work canary walls immediately before/after the
+                  # timed run: canary / campaign-min = box slowdown factor
+                  "canary_pre": can0, "canary_post": can1,
                   # whole-subprocess tree CPU (gen read + warmup + timed
-                  # run): the parent subtracts this from the host-wide busy
-                  # delta over the subprocess lifetime to estimate
-                  # OFF-container load during the trial window
+                  # run): kept for the LIFETIME covariate (r5/r6 continuity)
                   "proc_cpu_total": round(tree_cpu_seconds(), 2),
                   "turns_per_sec": round(n_turns / wall, 1),
                   "stage_sec": dict(pipe.metrics)}))
@@ -159,11 +175,16 @@ def _sub(code: str, *args: str, pin_cpus: int | None = None) -> str:
 
 def _timed_trial(cpus: int, tpc: int, n_entities: int, inp: str) -> dict:
     """Run one WORKER subprocess and attach the host-load covariate: the
-    box-wide busy-CPU delta over the subprocess lifetime MINUS the CPU our
-    own subprocess tree consumed, divided by its wall — i.e. the average
-    number of cores burned by OFF-container neighbors while this trial ran
-    (VERDICT r5 #1: makes a noisy pair attributable rather than anonymous).
-    /proc/stat here is the host view, so the subtraction is meaningful."""
+    box-wide busy-CPU delta MINUS the CPU our own run consumed, divided by
+    wall — i.e. the average number of cores burned by OFF-container
+    neighbors while the trial ran (VERDICT r5 #1: makes a noisy pair
+    attributable rather than anonymous). /proc/stat here is the host view,
+    so the subtraction is meaningful.
+
+    The HEADLINE covariate is computed by the worker over exactly the
+    timed window (ADVICE r6 — the lifetime average diluted in-window
+    bursts); the subprocess-lifetime variant is kept as *_lifetime for
+    r5/r6 continuity."""
     import time
 
     from blink_reloaded_spark.procstat import system_cpu_sample
@@ -172,9 +193,18 @@ def _timed_trial(cpus: int, tpc: int, n_entities: int, inp: str) -> dict:
     r = json.loads(_sub(WORKER, str(cpus), str(tpc), str(n_entities), inp,
                         pin_cpus=cpus))
     s1, sub_wall = system_cpu_sample(), time.time() - t0
-    off_busy = s1["busy"] - s0["busy"] - r.get("proc_cpu_total", 0.0)
-    r["host_offcontainer_cores"] = round(max(off_busy, 0.0) / sub_wall, 2)
-    r["host_steal_cores"] = round((s1["steal"] - s0["steal"]) / sub_wall, 3)
+    off_life = s1["busy"] - s0["busy"] - r.get("proc_cpu_total", 0.0)
+    r["host_offcontainer_cores_lifetime"] = round(
+        max(off_life, 0.0) / sub_wall, 2
+    )
+    off_win = r.get("sys_busy_delta", 0.0) - r["cpu_sec"]
+    r["host_offcontainer_cores"] = round(max(off_win, 0.0) / r["wall_sec"], 2)
+    r["host_steal_cores"] = round(
+        r.get("sys_steal_delta", 0.0) / r["wall_sec"], 3
+    )
+    r["canary"] = round(
+        (r.get("canary_pre", 0.0) + r.get("canary_post", 0.0)) / 2, 4
+    )
     return r
 
 
@@ -206,7 +236,8 @@ def main() -> None:
             results[cpus].append(r)
             print(f"pair {t} local[{cpus}]: {r['wall_sec']}s wall, "
                   f"{r['cpu_sec']}s cpu, off-container "
-                  f"{r['host_offcontainer_cores']} cores", flush=True)
+                  f"{r['host_offcontainer_cores']} cores, canary "
+                  f"{r['canary']}s", flush=True)
     shutil.rmtree(inp, ignore_errors=True)
 
     import statistics
@@ -237,6 +268,28 @@ def main() -> None:
     ]
     efficiency_cpu = statistics.median(pair_eff_cpu)
     efficiency_wall_paired = statistics.median(pair_eff_wall)
+    # CANARY-NORMALIZED paired estimator (VERDICT r6 #2b, pre-registered):
+    # the fixed-work canary bracketing each timed run measures the box
+    # slowdown factor during that trial's window — bus steal and core steal
+    # both stretch fixed work, and the /proc covariate sees neither when
+    # the neighbor load is off-container bus traffic. Model: billed CPU
+    # inflates proportionally to the canary factor, so normalized CPU =
+    # cpu * (ref / canary) and the per-pair efficiency becomes
+    # (cpu_lo/cpu_hi) * (canary_hi/canary_lo) — the campaign reference
+    # cancels. Raw pairs stay the headline; this column ATTRIBUTES a miss
+    # to box degradation rather than replacing the raw number.
+    pair_eff_cpu_canary = [
+        round(
+            pair_eff_cpu[t]
+            * (results[hi][t]["canary"] / results[lo][t]["canary"]),
+            3,
+        )
+        if results[lo][t].get("canary") and results[hi][t].get("canary")
+        else None
+        for t in range(trials)
+    ]
+    _cc = [x for x in pair_eff_cpu_canary if x is not None]
+    efficiency_cpu_canary = round(statistics.median(_cc), 3) if _cc else None
     # Covariate-gated view (VERDICT r5 #1's second acceptance path): a pair
     # is QUIET when neither half saw >= 0.5 off-container busy cores while
     # it ran. The gate is on the covariate, never on the measured outcome —
@@ -262,8 +315,14 @@ def main() -> None:
     efficiency_wall_quiet = (
         round(statistics.median(quiet_wall), 3) if quiet_wall else None
     )
+    # campaign label (r7): prior rounds renamed JSON keys by hand to keep
+    # superseded campaigns alongside the fresh one — make that a knob
+    suffix = os.environ.get("SPARK_GRAFT_JOB_SUFFIX", "")
     result = {
-        "job": f"linkage_pipeline_from_transcripts_{n_entities}ent{hot_tag}",
+        "job": (
+            f"linkage_pipeline_from_transcripts_{n_entities}ent{hot_tag}"
+            + (f"_{suffix}" if suffix else "")
+        ),
         "n_entities": n_entities,
         "hot_mention_pct": hot_pct,
         "pinned_cores": PIN,
@@ -282,7 +341,19 @@ def main() -> None:
             str(c): [r["host_offcontainer_cores"] for r in rs]
             for c, rs in results.items()
         },
+        "trials_offcontainer_cores_lifetime": {
+            str(c): [r.get("host_offcontainer_cores_lifetime") for r in rs]
+            for c, rs in results.items()
+        },
+        # all canary samples committed (VERDICT r6 #2b acceptance): per
+        # trial, the fixed-work walls immediately before/after the timed run
+        "trials_canary": {
+            str(c): [[r.get("canary_pre"), r.get("canary_post")] for r in rs]
+            for c, rs in results.items()
+        },
         "pair_eff_cpu": [round(x, 3) for x in pair_eff_cpu],
+        "pair_eff_cpu_canary": pair_eff_cpu_canary,
+        "scaling_efficiency_cpu_canary": efficiency_cpu_canary,
         "pair_eff_wall": [round(x, 3) for x in pair_eff_wall],
         "pair_offcontainer_cores": [round(x, 2) for x in pair_load],
         "quiet_pair_gate_cores": QUIET_CORES,
@@ -300,10 +371,13 @@ def main() -> None:
             "ratios (pair = back-to-back lo/hi trials sharing a box "
             "window, order alternating); *_cpu_quiet/*_wall_quiet = same "
             "median over pairs whose covariate (max off-container busy "
-            "cores across the two halves) < quiet_pair_gate_cores — gated "
-            "on the covariate only, pre-registered; *_rom = ratio-of-"
-            "medians kept for r4/r5 continuity; *_best kept for r2-r4 "
-            "continuity"
+            "cores across the two halves, measured over exactly the timed "
+            "window since r7 — ADVICE r6) < quiet_pair_gate_cores — gated "
+            "on the covariate only, pre-registered; *_cpu_canary = per-pair "
+            "CPU ratio normalized by the fixed-work canary slowdown factor "
+            "(cpu_lo/cpu_hi * canary_hi/canary_lo) — attributes bus-steal "
+            "the covariate can't see; *_rom = ratio-of-medians kept for "
+            "r4/r5 continuity; *_best kept for r2-r4 continuity"
         ),
         "note": (
             f"sandbox proxy for N->4N executors: local[{lo}] vs local[{hi}]"
