@@ -699,6 +699,10 @@ class LinkagePipeline:
         surfaces: list[str] | None = None,
         mentions: DataFrame | None = None,
         threshold: float | None = None,
+        validate_state: bool = True,
+        check_cap_invariant: bool = True,
+        output: str = "full",
+        surface_state: DataFrame | None = None,
     ) -> DataFrame:
         """Append-mode KB-free clustering (VERDICT r5 #5a at pipeline
         level; the oracle-checked query form is queries.er05): merge a NEW
@@ -709,12 +713,33 @@ class LinkagePipeline:
         the previous run's (node, component) joined back to its mention
         surfaces (the natural sink schema; `cluster_state` below builds
         it). Returns the same (node, component) shape as `run_kb_free` on
-        old ∪ new mentions, and — because mention ids are content-hashed
+        old ∪ new mentions.
+
+        EXACTNESS SCOPE (ADVICE r6): the result is IDENTICAL to a
+        full-batch re-run — mention ids are content-hashed
         (batch-invariant), pair scores are pure functions of the two
-        surfaces, and blocking keys are per-surface pure functions computed
-        over the SAME union frame (identical max_block/max_key_pairs cap
-        decisions) — it returns the IDENTICAL clustering a full-batch
-        re-run would (pinned by tests/test_pipeline.py).
+        surfaces, and NEW-touching pairs come from blocking over the SAME
+        union frame the re-run would block — **provided no block holding
+        >= 2 state surfaces exceeds `max_block` in the union run**.
+        Appending only ever GROWS blocks, so union-under-cap implies the
+        base run fully paired that block too and the star edges encode
+        exactly the pairs the re-run would score. A block that CROSSES the
+        cap, however, switches to salted sorted-neighborhood pairing whose
+        old-old pair subset depends on block size/composition: the state
+        may then preserve base-run merges the re-run's capped pairing
+        would drop (the append result is a superset clustering there —
+        monotone, never a split, but not bit-equal). The equivalence test
+        pins the uncapped regime; `check_cap_invariant` (default on)
+        counts exactly the risky blocks — union-size > max_block with
+        >= 2 old members — into metrics["append_capped_old_blocks"] and
+        warns when non-zero, so at the 10^12-turn scale where caps bite
+        the approximation is DECLARED per run, never silent.
+
+        `validate_state` (default on, VERDICT r6 #4): a corrupted state
+        sink — one surface mapped to two cluster_ids — would otherwise
+        silently weld both clusters together through that surface's two
+        star edges. In kb-free mode (surface -> cluster) is functional by
+        construction, so a violation is garbage input: raise, don't merge.
 
         Scale shape: the state enters as |old distinct surfaces| star
         edges (no rescoring); the expensive pair scorer runs ONLY on
@@ -722,26 +747,132 @@ class LinkagePipeline:
         runs over the full surface set (that is what makes the cap
         decisions — and hence the clustering — batch-invariant), but that
         join is skinny key tables; at 10^12 turns the delta cost is
-        |new surfaces x blockmates|, not corpus-quadratic.
+        |new surfaces x blockmates|, not corpus-quadratic. Both guards are
+        one aggregation over an already-needed skinny frame (state
+        surfaces / the key table); opt out via the flags for
+        latency-critical appends that trust their sink.
+
+        `output` (r7, VERDICT r6 #3 — measuring the append showed the
+        FULL-output relabel, not the scorer, is where corpus cost hides):
+
+        * "full" (default): (node, component) over old ∪ new mentions —
+          the run_kb_free-compatible shape the equivalence test compares
+          bit-for-bit. Linear in the corpus by construction (it re-emits
+          every old mention row), so at 10^12 turns it is NOT the
+          production append.
+        * "delta": the UPSERT — only rows whose assignment is new or
+          changed: every delta mention, plus old mentions of surfaces
+          whose cluster_id changed (a merge relabels the losing cluster's
+          members). Rows absent = unchanged; applying the upsert to the
+          state reproduces output="full" exactly (pinned by test). The
+          trick that makes this delta-shaped: cluster_id = min mention_id
+          per component, and an OLD cluster's min IS its cluster_id — so
+          the merged component's min is min(member old cluster_ids, delta
+          mention ids) and old mention rows are never re-expanded. The
+          only corpus-linear work left is column-pruned scans of the
+          state table (surface dedup + the changed-surface filter scan) —
+          pass `surface_state` to drop even those.
+
+        `surface_state` (optional): the (mention=surface, cluster_id)
+        PROJECTION of the state — `surface_cluster_state` builds it; a
+        production job sinks it alongside the mention-level state (it is
+        surface-cardinality, trivially small next to the corpus). When
+        given, every surface-level derivation (the union surface set, the
+        star edges, the guards, the changed-surface diff) reads it instead
+        of re-deduplicating the corpus-sized state; the mention-level
+        `state` is then touched by exactly ONE column-pruned filter scan
+        (delta output's changed-member relabel) — or zero in output="full"
+        ... which still unions it, so pass surface_state WITH
+        output="delta" for the genuinely delta-shaped append. Must be
+        consistent with `state` (same run's sink); it is trusted the same
+        way state is, and validate_state checks functionality on whichever
+        table the surfaces came from.
         """
+        if output not in ("full", "delta"):
+            raise ValueError(f"output must be 'full' or 'delta', got {output!r}")
         thr = self.threshold if threshold is None else threshold
         if mentions is None:
             assert surfaces is not None, "need surfaces or mentions"
+            # partitioning="auto" (coalesce, no exchange): a delta batch is
+            # small relative to the session's task grid, and measured (r7,
+            # 200k turns, 32 cores) the round-robin exchange plus the extra
+            # Arrow tasks billed 27 CPU-s where the same extraction over
+            # coalesced input splits billed 10 — the full-corpus default
+            # keeps repartition (balance wins at size, perf-lessons r4)
             mentions = extract_mentions(
-                new_transcripts, surfaces, with_context=False, id_bits=self.id_bits
+                new_transcripts, surfaces, with_context=False,
+                id_bits=self.id_bits, partitioning="auto",
             )
         m_new = mentions.select("mention_id", "mention")
-        m_all = m_new.unionByName(
-            state.select("mention_id", "mention")
-        ).dropDuplicates(["mention_id"])
+        # surface-level view of the state: the sunk projection when given,
+        # else derived by deduplicating the corpus-sized state (one scan)
+        sstate = (
+            surface_state.select("mention", "cluster_id")
+            if surface_state is not None
+            else state.select("mention", "cluster_id").distinct()
+        )
+        if output == "full":
+            # materialized: consumed by surf AND (twice) by the final
+            # expansion — unmaterialized, the union+dedup over the whole
+            # corpus re-ran per consumer (measured r7: append CPU EXCEEDED
+            # the full recompute's before this)
+            m_all = self._materialize(
+                m_new.unionByName(
+                    state.select("mention_id", "mention")
+                ).dropDuplicates(["mention_id"])
+            )
+            surf_src = m_all.select(F.col("mention").alias("text"))
+        else:
+            # delta mode never builds the corpus-sized mention union: the
+            # union SURFACE set is state-surface ∪ delta-surface. m_new is
+            # materialized — its three consumers (surface union, min
+            # candidates, the upsert's new rows) would each re-run the
+            # delta extraction
+            m_new = self._materialize(m_new)
+            surf_src = sstate.select(F.col("mention").alias("text")).unionByName(
+                m_new.select(F.col("mention").alias("text"))
+            )
 
         surf = self._materialize(
             self._with_node_cols(
-                m_all.select(F.col("mention").alias("text"))
-                .distinct()
-                .select(F.xxhash64(F.lit("surf"), "text").alias("id"), "text")
+                surf_src.distinct().select(
+                    F.xxhash64(F.lit("surf"), "text").alias("id"), "text"
+                )
             )
         )
+        # surfaces already present in the state: their pairwise closure is
+        # encoded by the star edges below, so only pairs touching a NEW
+        # surface need scoring. The filter runs AFTER candidate_pairs so
+        # the block-size cap decisions are the full-run ones (equivalence).
+        # materialized: surface cardinality after the distinct, but its many
+        # consumers (guards, the new-surface anti-join's two sides, star
+        # edges, delta-mode min candidates) would each re-run the
+        # corpus-sized distinct scan of the state (or re-read the sunk
+        # surface projection)
+        old_surf_comp = self._materialize(
+            sstate.select(
+                F.xxhash64(F.lit("surf"), "mention").alias("sid"), "cluster_id"
+            )
+            .distinct()
+        )
+        if validate_state:
+            # (surface -> cluster) must be functional (docstring): count the
+            # surfaces claiming two clusters in one grouped aggregation over
+            # the (small) distinct state-surface frame
+            conflicted = (
+                old_surf_comp.groupBy("sid")
+                .agg(F.count_distinct("cluster_id").alias("nc"))
+                .where(F.col("nc") > 1)
+                .count()
+            )
+            if conflicted:
+                raise ValueError(
+                    f"malformed append state: {conflicted} surface(s) map to "
+                    "more than one cluster_id — the state sink is corrupted "
+                    "(or was not produced by run_kb_free); appending it "
+                    "would silently weld those clusters together"
+                )
+
         keys = blocking_keys(
             surf,
             id_col="id",
@@ -752,18 +883,39 @@ class LinkagePipeline:
             extra_key_cols=["prefix_key"],
             hash_fn=self._blocking_hash(),
         )
+        if check_cap_invariant:
+            # materialize the skinny key table once: the guard aggregation
+            # and candidate_pairs would otherwise each re-run the MinHash
+            # keying subtree (the multi-consumer lesson, perf-lessons r3)
+            keys = self._materialize(keys)
+            old_ids = old_surf_comp.select(F.col("sid").alias("id")).distinct()
+            capped = (
+                keys.join(old_ids.withColumn("__old", F.lit(1)), "id", "left")
+                .groupBy("block_key")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.count("__old").alias("n_old"),
+                )
+                .where(
+                    (F.col("n") > self.max_block) & (F.col("n_old") >= 2)
+                )
+                .count()
+            )
+            self.metrics["append_capped_old_blocks"] = capped
+            if capped:
+                import warnings
+
+                warnings.warn(
+                    f"append-mode exactness scope exceeded: {capped} block(s) "
+                    f"holding >=2 state surfaces are over max_block="
+                    f"{self.max_block} in the union run — state merges inside "
+                    "them may not match a full-batch recompute (monotone "
+                    "superset, never a split; see run_kb_free_append "
+                    "docstring)",
+                    stacklevel=2,
+                )
         pairs = candidate_pairs(keys, max_block=self.max_block)
 
-        # surfaces already present in the state: their pairwise closure is
-        # encoded by the star edges below, so only pairs touching a NEW
-        # surface need scoring. The filter runs AFTER candidate_pairs so
-        # the block-size cap decisions are the full-run ones (equivalence).
-        old_surf_comp = (
-            state.select(
-                F.xxhash64(F.lit("surf"), "mention").alias("sid"), "cluster_id"
-            )
-            .distinct()
-        )
         new_ids = (
             surf.select("id")
             .join(old_surf_comp.select(F.col("sid").alias("id")), "id", "left_anti")
@@ -802,11 +954,77 @@ class LinkagePipeline:
             surf.select(F.col("id").alias("node"), F.col("text").alias("mention")),
             "node",
         ).select("mention", "component")
-        ml = m_all.join(surf_comp, "mention")
-        cmin = ml.groupBy("component").agg(F.min("mention_id").alias("cluster_id"))
-        return ml.join(cmin, "component").select(
-            F.col("mention_id").alias("node"), F.col("cluster_id").alias("component")
+        if output == "full":
+            ml = m_all.join(surf_comp, "mention")
+            cmin = ml.groupBy("component").agg(
+                F.min("mention_id").alias("cluster_id")
+            )
+            return ml.join(cmin, "component").select(
+                F.col("mention_id").alias("node"),
+                F.col("cluster_id").alias("component"),
+            )
+
+        # ---- output == "delta": the upsert, never expanding old mentions ----
+        # min-candidate per component = member old clusters' cluster_ids
+        # (each IS the min mention_id of its old members) ∪ per-surface min
+        # of the DELTA mention ids (a delta mention of an old surface can
+        # undercut the old min — content-hashed ids are unordered)
+        old_cand = comps.join(
+            old_surf_comp.select(F.col("sid").alias("node"), "cluster_id"), "node"
+        ).select("component", F.col("cluster_id").alias("cand"))
+        new_cand = (
+            m_new.groupBy("mention")
+            .agg(F.min("mention_id").alias("cand"))
+            .join(surf_comp, "mention")
+            .select("component", "cand")
         )
+        cmin = (
+            old_cand.unionByName(new_cand)
+            .groupBy("component")
+            .agg(F.min("cand").alias("cluster_id"))
+        )
+        # surface -> new cluster id (surface cardinality), materialized for
+        # its three consumers below
+        surf_cluster = self._materialize(
+            surf_comp.join(cmin, "component").select("mention", "cluster_id")
+        )
+        # changed surfaces: new surface, or an old surface whose cluster_id
+        # moved (its cluster merged with a lower-min one)
+        old_sc = old_surf_comp.select(
+            F.col("sid").alias("__sid"), F.col("cluster_id").alias("old_cid")
+        )
+        chg = (
+            surf_cluster.withColumn(
+                "__sid", F.xxhash64(F.lit("surf"), "mention")
+            )
+            .join(old_sc, "__sid", "left")
+            .where(
+                F.col("old_cid").isNull()
+                | (F.col("old_cid") != F.col("cluster_id"))
+            )
+            .select("mention", F.col("cluster_id").alias("new_cid"))
+        )
+        out_new = m_new.join(surf_cluster, "mention").select(
+            F.col("mention_id").alias("node"),
+            F.col("cluster_id").alias("component"),
+        )
+        # one column-pruned filter scan of the state — the delta-shaped
+        # write: |changed surfaces' members|, broadcastable chg side
+        out_old = state.join(chg, "mention").select(
+            F.col("mention_id").alias("node"),
+            F.col("new_cid").alias("component"),
+        )
+        # a delta mention re-ingesting an existing mention_id appears in
+        # both branches with the SAME component (same surface) — dedup
+        return out_new.unionByName(out_old).dropDuplicates(["node"])
+
+    @staticmethod
+    def surface_cluster_state(state: DataFrame) -> DataFrame:
+        """(mention=surface, cluster_id) projection of a cluster_state
+        table — the surface-cardinality companion a production job sinks
+        alongside the mention-level state so `run_kb_free_append` never
+        has to re-deduplicate the corpus to recover the surface set."""
+        return state.select("mention", "cluster_id").distinct()
 
     @staticmethod
     def cluster_state(clusters: DataFrame, mentions: DataFrame) -> DataFrame:

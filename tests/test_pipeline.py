@@ -292,3 +292,109 @@ def test_kb_free_append_equals_full_rerun(spark, fixture):
 
     diff = merged.exceptAll(full).count() + full.exceptAll(merged).count()
     assert diff == 0, f"append-mode clustering diverged from full re-run: {diff}"
+    # this fixture exercises the EXACT regime (ADVICE r6): the cap guard
+    # must confirm no old-holding block crossed max_block in the union run
+    assert pipe.metrics["append_capped_old_blocks"] == 0
+
+
+def test_append_rejects_conflicted_state(spark):
+    """VERDICT r6 #4: a state sink where one surface maps to two cluster_ids
+    is garbage (kb-free clustering makes (surface -> cluster) functional by
+    construction) — appending it would silently weld the two clusters via
+    that surface's star edges. The guard must raise, not merge."""
+    state = spark.createDataFrame(
+        [(1, "acme corp", 1), (2, "acme corp", 2), (3, "zeta ltd", 3)],
+        "mention_id long, mention string, cluster_id long",
+    )
+    delta = spark.createDataFrame(
+        [(10, "omega gmbh")], "mention_id long, mention string"
+    )
+    with pytest.raises(ValueError, match="malformed append state"):
+        LinkagePipeline(spark).run_kb_free_append(None, state, mentions=delta)
+
+
+def test_append_cap_guard_flags_crossing_blocks(spark):
+    """ADVICE r6: append==recompute is exact only while no block holding
+    >=2 state surfaces exceeds max_block in the union run (the base run's
+    full pairing inside a block that the union run caps may encode merges
+    the recompute's salted windowed pairing would drop). The guard must
+    count exactly those blocks and warn — the approximation regime is
+    declared, never silent."""
+    # 3 base + 2 delta surfaces share the first token -> the "pfx|acme"
+    # block is 3 (== max_block, fully paired) in the base run and 5 (> cap)
+    # in the union run: the crossing case
+    base_s = ["acme one", "acme two", "acme three"]
+    delta_s = ["acme four", "acme five"]
+    m0 = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(base_s)], "mention_id long, mention string"
+    )
+    m1 = spark.createDataFrame(
+        [(100 + i, s) for i, s in enumerate(delta_s)],
+        "mention_id long, mention string",
+    )
+    pipe = LinkagePipeline(spark, max_block=3)
+    state = LinkagePipeline.cluster_state(
+        pipe.run_kb_free(None, mentions=m0), m0
+    )
+    with pytest.warns(UserWarning, match="exactness scope exceeded"):
+        merged = pipe.run_kb_free_append(None, state, mentions=m1)
+    assert pipe.metrics["append_capped_old_blocks"] >= 1
+    # the append output is still a valid clustering over all mentions
+    assert merged.count() == 5
+    # opt-out path: no warning, no metric, same frame shape
+    pipe2 = LinkagePipeline(spark, max_block=3)
+    out = pipe2.run_kb_free_append(
+        None, state, mentions=m1, check_cap_invariant=False
+    )
+    assert "append_capped_old_blocks" not in pipe2.metrics
+    assert out.count() == 5
+
+
+def test_kb_free_append_delta_output_upsert(spark, fixture):
+    """output='delta' (r7, VERDICT r6 #3): the append returns only NEW or
+    CHANGED rows; applying the upsert to the state (keep state rows whose
+    node is absent from the delta) must reproduce the full-batch recompute
+    bit-for-bit — and old mentions of UNCHANGED surfaces must genuinely be
+    absent (that absence is what makes the append delta-shaped)."""
+    cat, tr, _ = fixture
+    surfaces = [a["surface"] for a in cat.aliases]
+    pipe = LinkagePipeline(spark)
+    tr0 = tr.where(F.crc32(F.col("conv_id")) % 3 != 0)
+    tr1 = tr.where(F.crc32(F.col("conv_id")) % 3 == 0)
+
+    from blink_reloaded_spark.operators.mentions import extract_mentions
+
+    m0 = extract_mentions(tr0, surfaces, with_context=False)
+    state = LinkagePipeline.cluster_state(
+        pipe.run_kb_free(tr0, mentions=m0), m0
+    ).localCheckpoint()
+
+    delta = pipe.run_kb_free_append(
+        tr1, state, surfaces=surfaces, output="delta"
+    ).localCheckpoint()
+    # the production protocol — surface-level state sunk alongside — must
+    # produce the identical upsert
+    # localCheckpoint: exceptAll over the live upsert plan (union +
+    # dropDuplicates over joins) trips a Catalyst attribute-rewrite
+    # internal error (ATTRIBUTE_NOT_FOUND in the replicate-rows rewrite)
+    # on Spark 4.1 — checkpointing compares the same rows without the
+    # fragile rewrite
+    delta_ss = pipe.run_kb_free_append(
+        tr1, state, surfaces=surfaces, output="delta",
+        surface_state=LinkagePipeline.surface_cluster_state(state),
+    ).localCheckpoint()
+    assert delta.exceptAll(delta_ss).isEmpty()
+    assert delta_ss.exceptAll(delta).isEmpty()
+    full = pipe.run_kb_free(tr.select(*tr0.columns), surfaces=surfaces)
+
+    kept = state.join(
+        delta.select(F.col("node").alias("mention_id")), "mention_id", "left_anti"
+    ).select(F.col("mention_id").alias("node"), F.col("cluster_id").alias("component"))
+    applied = delta.unionByName(kept)
+    diff = applied.exceptAll(full).count() + full.exceptAll(applied).count()
+    assert diff == 0, f"upsert(state, delta) diverged from recompute: {diff}"
+    # the upsert must be smaller than the corpus (some state rows kept) and
+    # must cover every delta-batch mention
+    assert delta.count() < full.count()
+    n_new_mentions = extract_mentions(tr1, surfaces, with_context=False).count()
+    assert delta.count() >= n_new_mentions
