@@ -6,8 +6,20 @@
 Methodology (VERDICT r2 #2: single numbers on this box are meaningless —
 the shared disk stalls multi-second at random):
 * every timed entry runs TRIALS times; the headline number is the MEDIAN;
-* every individual trial is persisted in the JSON ("trials") so any claim
-  derived from this file is traceable to raw measurements;
+* trials are INTERLEAVED (VERDICT r6 #1): sweep s runs trial s of EVERY
+  entry before any entry gets trial s+1, so a degrading box window hurts
+  all entries a little instead of whichever entry happened to run last
+  fatally (r5: er04 9.4s; r6: pipeline 14.7s — both were late-window
+  damage on unchanged-speed code, visible in their own CPU columns);
+* every trial records wall, process-tree CPU, and a FIXED-WORK canary
+  (procstat.canary_seconds: ~0.2 s of single-thread memory-streaming sums
+  run immediately before the trial) — the canary is the box-health column
+  the in-container covariate can't provide: bus pressure and core steal
+  both stretch fixed work, so trials taken when canary >> campaign-min
+  are self-evidently window-degraded;
+* every individual trial is persisted in the JSON ("trials",
+  "trials_cpu", "trials_canary") so any claim derived from this file is
+  traceable to raw measurements;
 * plans execute through the noop sink (full execution, no write cost, no
   count()-based plan pruning); UDF worker pool warmed before timing.
 
@@ -20,6 +32,13 @@ dedup03 is timed on BOTH hash paths: portable poly_hash (the oracle-checked
 default) and the xxhash64 production path (functions/hashing.xxhash64_mod)
 — the delta is the interpreted-per-char-aggregate cost the portable oracle
 contract pays.
+
+Append-cost entries (VERDICT r6 #3 — the er05 oracle hash-proves append ==
+recompute; these prove the COST claim "delta cost, not corpus cost"): the
+~2M-turn corpus is split 90/10 by conv-id hash, the 90% base is clustered
+once (untimed) into a state table, then `pipeline_append` times
+run_kb_free_append of the 10% delta (guards ON — the honest production
+path) against `kbfree_full_recompute` timing run_kb_free on the full 100%.
 """
 
 from __future__ import annotations
@@ -39,25 +58,6 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _timed(fn, trials: int = TRIALS) -> tuple[list[float], list[float]]:
-    """Per-trial (wall, process-tree CPU). The CPU column makes the artifact
-    self-diagnosing (VERDICT r5 #2: er04's driver trials rose 6.8->9.4->15.0s
-    on unchanged code — scripts/diag_er04*.py could not reproduce it, er04 is
-    flat at ~3.2s in isolation AND after the full bench preamble, so the rise
-    was a degrading box window; with CPU recorded, wall rising while CPU
-    stays flat reads as core-steal, both rising as bus-steal/real work)."""
-    from blink_reloaded_spark.procstat import tree_cpu_seconds
-
-    walls, cpus = [], []
-    for _ in range(trials):
-        c0 = tree_cpu_seconds()
-        t0 = time.time()
-        fn()
-        walls.append(round(time.time() - t0, 3))
-        cpus.append(round(tree_cpu_seconds() - c0, 2))
-    return walls, cpus
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -65,6 +65,7 @@ def main() -> None:
 
     from blink_reloaded_spark.session import get_spark
     from blink_reloaded_spark.queries import build_registry
+    from blink_reloaded_spark.procstat import canary_seconds, tree_cpu_seconds
 
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = get_spark(
@@ -86,73 +87,17 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     queries, _ = build_registry()
 
-    headline = [
-        "q01_pricing_summary",
-        "q03_topk_per_group",
-        "q08_cumulative_window",
-        "text01_quality",
-        "dedup03_minhash_lsh",
-        "ann05_multitable_lsh",
-        "er04_clusters",
-    ]
-    # measured for regression tracking / deltas, not in the headline total
-    extras = {
-        "ann03_lsh_topk": lambda: _noop(queries["ann03_lsh_topk"](spark, sf_dir)),
-        "ann07_multiprobe_tables": lambda: _noop(
-            queries["ann07_multiprobe_tables"](spark, sf_dir)
-        ),
-        "dedup03_minhash_lsh_xxh": lambda: _noop(
-            dedup03_minhash_lsh(spark, sf_dir, hash_fn=xxhash64_mod)
-        ),
-    }
     def _gc_nudge():
         # bound cross-entry JVM state: a driver-GC pass lets ContextCleaner
         # reclaim superseded localCheckpoint blocks (the CC loop leaves ~3
         # tiny lazily-checkpointed RDDs per run until the next GC — measured
-        # bounded in scripts/diag_er04_seq.py, but keep entries independent)
+        # bounded in scripts/diag_er04_seq.py). Runs before EVERY trial of
+        # EVERY entry — including pipeline_linkage, which r6 omitted
+        # (ADVICE r6): the longest entry was the only one inheriting prior
+        # JVM state.
         spark.sparkContext._jvm.System.gc()
 
-    times: dict[str, float] = {}
-    trials: dict[str, list[float]] = {}
-    trials_cpu: dict[str, list[float]] = {}
-    for name in headline:
-        _gc_nudge()
-        trials[name], trials_cpu[name] = _timed(
-            lambda: _noop(queries[name](spark, sf_dir))
-        )
-        times[name] = statistics.median(trials[name])
-        print(
-            f"{name}: {times[name]}s {trials[name]} cpu {trials_cpu[name]}",
-            file=sys.stderr,
-        )
-    extra_times: dict[str, float] = {}
-    for name, fn in extras.items():
-        _gc_nudge()
-        trials[name], trials_cpu[name] = _timed(fn)
-        extra_times[name] = statistics.median(trials[name])
-        print(f"{name}: {extra_times[name]}s {trials[name]}", file=sys.stderr)
-
-    # ANN recall vs the exact baseline (VERDICT r1: measure, don't just
-    # oracle-check): recall@k of the bucketed paths against ann01
-    from blink_reloaded_spark.eval import ann_recall_vs_exact
-
-    exact = queries["ann01_cosine_topk"](spark, sf_dir).localCheckpoint()
-    ann_recall = {
-        "ann03_at_3": ann_recall_vs_exact(
-            queries["ann03_lsh_topk"](spark, sf_dir), exact, k=3
-        ),
-        "ann05_at_5": ann_recall_vs_exact(
-            queries["ann05_multitable_lsh"](spark, sf_dir), exact, k=5
-        ),
-        "ann06_at_3": ann_recall_vs_exact(
-            queries["ann06_multiprobe_lsh"](spark, sf_dir), exact, k=3
-        ),
-        "ann07_at_5": ann_recall_vs_exact(
-            queries["ann07_multiprobe_tables"](spark, sf_dir), exact, k=5
-        ),
-    }
-    print(f"ann_recall: {ann_recall}", file=sys.stderr)
-
+    # ---- pipeline data prep (untimed) -------------------------------------
     # flagship linkage pipeline on ~2M generated turns
     from blink_reloaded_spark import datagen
     from blink_reloaded_spark.plans.pipeline import LinkagePipeline
@@ -184,16 +129,150 @@ def main() -> None:
         )
         _noop(clusters)
 
-    # the longest entry is also the most outlier-prone (r4 recorded a 49.3s
-    # disk-stall trial next to 14.2/13.0): give the median two extra trials
-    trials["pipeline_linkage"], trials_cpu["pipeline_linkage"] = _timed(
-        _run_pipeline, trials=max(TRIALS, 5)
-    )
-    times["pipeline_linkage"] = statistics.median(trials["pipeline_linkage"])
+    # ---- append-cost data prep (untimed): 90/10 conv split, base state ----
+    from blink_reloaded_spark.operators.mentions import extract_mentions
+
+    tr_delta = tr.where(F.pmod(F.crc32("conv_id"), F.lit(10)) == 0)
+    tr_base = tr.where(F.pmod(F.crc32("conv_id"), F.lit(10)) != 0)
+    n_delta = tr_delta.count()
+    kb_pipe = LinkagePipeline(spark, collect_metrics=False)
+    m_base = extract_mentions(tr_base, surfaces, with_context=False)
+    state = LinkagePipeline.cluster_state(
+        kb_pipe.run_kb_free(None, mentions=m_base), m_base
+    ).localCheckpoint()
+    state.count()
+    surf_state = LinkagePipeline.surface_cluster_state(state).localCheckpoint()
+    surf_state.count()
+
+    def _run_kbfree_full():
+        _noop(kb_pipe.run_kb_free(tr, surfaces=surfaces))
+
+    def _run_append():
+        # guards ON (validate_state + cap-invariant check) — the honest
+        # production append cost, not a stripped fast path. output="delta"
+        # + surface_state is the production protocol: the upsert shape
+        # (rows absent = unchanged) with the previous batch's sunk
+        # surface-level projection, so the only corpus-sized touch is the
+        # changed-member filter scan (upsert==full recompute pinned by
+        # tests/test_pipeline.py)
+        _noop(
+            kb_pipe.run_kb_free_append(
+                tr_delta, state, surfaces=surfaces, output="delta",
+                surface_state=surf_state,
+            )
+        )
+
+    # ---- timed entries -----------------------------------------------------
+    headline = [
+        "q01_pricing_summary",
+        "q03_topk_per_group",
+        "q08_cumulative_window",
+        "text01_quality",
+        "dedup03_minhash_lsh",
+        "ann05_multitable_lsh",
+        "er04_clusters",
+    ]
+    # (name, fn, n_trials, bucket); pipeline_linkage FIRST in each sweep
+    # (VERDICT r6 #1c) and with two extra trials (r4 recorded a 49.3s
+    # disk-stall trial next to 14.2/13.0 — the median needs depth)
+    entries = [("pipeline_linkage", _run_pipeline, max(TRIALS, 5), "headline")]
+    for name in headline:
+        entries.append(
+            (
+                name,
+                (lambda n=name: _noop(queries[n](spark, sf_dir))),
+                TRIALS,
+                "headline",
+            )
+        )
+    entries += [
+        (
+            "ann03_lsh_topk",
+            lambda: _noop(queries["ann03_lsh_topk"](spark, sf_dir)),
+            TRIALS,
+            "extras",
+        ),
+        (
+            "ann07_multiprobe_tables",
+            lambda: _noop(queries["ann07_multiprobe_tables"](spark, sf_dir)),
+            TRIALS,
+            "extras",
+        ),
+        (
+            "dedup03_minhash_lsh_xxh",
+            lambda: _noop(dedup03_minhash_lsh(spark, sf_dir, hash_fn=xxhash64_mod)),
+            TRIALS,
+            "extras",
+        ),
+        ("kbfree_full_recompute", _run_kbfree_full, TRIALS, "extras"),
+        ("pipeline_append", _run_append, TRIALS, "extras"),
+    ]
+
+    trials: dict[str, list[float]] = {n: [] for n, _, _, _ in entries}
+    trials_cpu: dict[str, list[float]] = {n: [] for n, _, _, _ in entries}
+    trials_canary: dict[str, list[float]] = {n: [] for n, _, _, _ in entries}
+    max_trials = max(n for _, _, n, _ in entries)
+    for sweep in range(max_trials):
+        for name, fn, n, _ in entries:
+            if sweep >= n:
+                continue
+            _gc_nudge()
+            trials_canary[name].append(canary_seconds())
+            c0 = tree_cpu_seconds()
+            t0 = time.time()
+            fn()
+            trials[name].append(round(time.time() - t0, 3))
+            trials_cpu[name].append(round(tree_cpu_seconds() - c0, 2))
+        print(
+            f"sweep {sweep}: "
+            + " ".join(
+                f"{n}={trials[n][sweep]}s" for n, _, k, _ in entries if sweep < k
+            ),
+            file=sys.stderr,
+        )
+
+    times: dict[str, float] = {}
+    extra_times: dict[str, float] = {}
+    for name, _, _, bucket in entries:
+        med = statistics.median(trials[name])
+        (times if bucket == "headline" else extra_times)[name] = med
+        print(
+            f"{name}: {med}s {trials[name]} cpu {trials_cpu[name]} "
+            f"canary {trials_canary[name]}",
+            file=sys.stderr,
+        )
+
+    # ANN recall vs the exact baseline (VERDICT r1: measure, don't just
+    # oracle-check): recall@k of the bucketed paths against ann01
+    from blink_reloaded_spark.eval import ann_recall_vs_exact
+
+    exact = queries["ann01_cosine_topk"](spark, sf_dir).localCheckpoint()
+    ann_recall = {
+        "ann03_at_3": ann_recall_vs_exact(
+            queries["ann03_lsh_topk"](spark, sf_dir), exact, k=3
+        ),
+        "ann05_at_5": ann_recall_vs_exact(
+            queries["ann05_multitable_lsh"](spark, sf_dir), exact, k=5
+        ),
+        "ann06_at_3": ann_recall_vs_exact(
+            queries["ann06_multiprobe_lsh"](spark, sf_dir), exact, k=3
+        ),
+        "ann07_at_5": ann_recall_vs_exact(
+            queries["ann07_multiprobe_tables"](spark, sf_dir), exact, k=5
+        ),
+    }
+    print(f"ann_recall: {ann_recall}", file=sys.stderr)
+
     turns_per_sec = round(n_turns / times["pipeline_linkage"], 1)
+    append_ratio = round(
+        extra_times["pipeline_append"] / extra_times["kbfree_full_recompute"], 3
+    )
     print(
-        f"pipeline_linkage: {times['pipeline_linkage']}s {trials['pipeline_linkage']} "
-        f"({n_turns} turns, {turns_per_sec} turns/s)",
+        f"pipeline_linkage: {times['pipeline_linkage']}s "
+        f"({n_turns} turns, {turns_per_sec} turns/s); append "
+        f"{extra_times['pipeline_append']}s vs full recompute "
+        f"{extra_times['kbfree_full_recompute']}s (ratio {append_ratio} "
+        f"at {round(n_delta / n_turns, 3)} delta fraction)",
         file=sys.stderr,
     )
 
@@ -211,6 +290,13 @@ def main() -> None:
                 # workers): wall rising while CPU is flat = core-steal window;
                 # both rising on unchanged code = bus-steal or real regression
                 "trials_cpu": trials_cpu,
+                # per-trial fixed-work canary wall (procstat.canary_seconds,
+                # sampled immediately before the trial): canary/campaign-min
+                # is the box slowdown factor during that window — the
+                # bus-steal signal trials_cpu alone can't separate from a
+                # real regression
+                "trials_canary": trials_canary,
+                "canary_min": min(min(v) for v in trials_canary.values()),
                 # actual per-entry counts — pipeline_linkage runs
                 # max(TRIALS, 5), so a single scalar misstates exactly the
                 # headline entry (ADVICE r5)
@@ -218,10 +304,16 @@ def main() -> None:
                 # a non-default trial count must be self-evident in the
                 # committed artifact, not just a comment (ADVICE r4)
                 "trials_overridden": "SPARK_GRAFT_BENCH_TRIALS" in os.environ,
-                "aggregation": "median",
+                "aggregation": "median, trials interleaved by sweep",
                 "sf": sf,
                 "pipeline_turns": n_turns,
                 "pipeline_turns_per_sec": turns_per_sec,
+                # append-cost evidence (VERDICT r6 #3): delta-shaped, not
+                # corpus-shaped — ratio = append wall / full-recompute wall
+                # at delta_fraction of new data
+                "append_delta_turns": n_delta,
+                "append_delta_fraction": round(n_delta / n_turns, 4),
+                "append_vs_recompute_ratio": append_ratio,
                 "ann_recall": ann_recall,
                 "cpus": cpus,
             }
