@@ -1194,6 +1194,91 @@ FROM j
 """
 
 
+def er07_append_upsert(spark, sf_dir):
+    """The production WRITE of an append run (r7, VERDICT r6 #3 at query
+    level; pipeline form = run_kb_free_append(output='delta')): only rows
+    whose assignment is NEW or CHANGED by the delta batch — every delta
+    mention, plus base mentions whose cluster_id moved because a delta
+    mention merged their cluster with a lower-min one. Rows absent from
+    the upsert are unchanged; applying it over the state reproduces the
+    full recompute. At 10^12 turns this is what makes continuous ingestion
+    viable: the sink write is |delta + relabeled members|, never the
+    corpus.
+
+    The Spark side computes assignments INCREMENTALLY (er05's star-edge
+    construction: state enters as linear star edges, only delta-touching
+    pairs are scored) and diffs against the state; the oracle recomputes
+    BOTH clusterings from scratch in SQL and applies the same diff — so
+    the driver's value-hash check pins the upsert-selection semantics on
+    top of er05's incremental==batch invariant.
+    """
+    split_id = ER_APPEND_SPLIT * 10
+    m = er01_mentions(spark, sf_dir)
+    base_m = m.where(F.col("mention_id") < split_id)
+
+    base_edges = (
+        _er_scored_pairs(_er_pairs_of(base_m))
+        .where(F.col("score") >= ER_THRESHOLD)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    state = connected_components(
+        base_edges, nodes=base_m.select(F.col("mention_id").alias("node"))
+    )
+
+    delta_edges = (
+        _er_scored_pairs(_er_pairs_of(m).where(F.col("b") >= split_id))
+        .where(F.col("score") >= ER_THRESHOLD)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    star = state.select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
+    )
+    cc = connected_components(
+        delta_edges.unionByName(star),
+        nodes=m.select(F.col("mention_id").alias("node")),
+    )
+    old = state.select("node", F.col("component").alias("old_c"))
+    return (
+        cc.join(old, "node", "left")
+        .where(F.col("old_c").isNull() | (F.col("old_c") != F.col("component")))
+        .select(
+            F.col("node").alias("mention_id"),
+            F.col("component").alias("cluster_id"),
+            F.col("old_c").isNull().cast("int").alias("is_new"),
+        )
+    )
+
+
+def _sql_er07():
+    """Full-batch recompute of BOTH clusterings + the same changed-row
+    diff the Spark incremental path applies."""
+    base = SQL_ER_PAIRS_BASE.format(tr=SQL_ER_TRANSCRIPTS, dict=SQL_ER_DICT)
+    base = base.replace("WITH tr AS", "WITH RECURSIVE tr AS", 1)
+    jw = osql.sql_jaro_winkler("ma", "mb")
+    lev = osql.sql_levenshtein_sim("ma", "mb")
+    split_id = ER_APPEND_SPLIT * 10
+    return base + f""",
+e AS (SELECT a, b FROM p WHERE round({jw}*0.6 + {lev}*0.4, 6) >= {ER_THRESHOLD}),
+sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+reach(u, v) AS (
+  SELECT mention_id, mention_id FROM m
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+full_asg AS (SELECT u AS mention_id, min(v) AS cluster_id FROM reach GROUP BY u),
+eb AS (SELECT a, b FROM e WHERE b < {split_id}),
+symb AS (SELECT a AS u, b AS v FROM eb UNION SELECT b, a FROM eb),
+reachb(u, v) AS (
+  SELECT mention_id, mention_id FROM m WHERE mention_id < {split_id}
+  UNION
+  SELECT r.u, s.v FROM reachb r JOIN symb s ON r.v = s.u
+),
+state AS (SELECT u AS mention_id, min(v) AS cluster_id FROM reachb GROUP BY u)
+SELECT f.mention_id, f.cluster_id,
+       CAST(CASE WHEN s.mention_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_new
+FROM full_asg f LEFT JOIN state s ON f.mention_id = s.mention_id
+WHERE s.mention_id IS NULL OR s.cluster_id != f.cluster_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1904,6 +1989,7 @@ FROM (SELECT doc_id,
         "er04_clusters": er04_clusters,
         "er05_incremental_clusters": er05_incremental_clusters,
         "er06_cluster_drift": er06_cluster_drift,
+        "er07_append_upsert": er07_append_upsert,
     }
     oracles = {
         "q01_pricing_summary": SQL_Q01,
@@ -1951,5 +2037,6 @@ FROM (SELECT doc_id,
         "er04_clusters": _sql_er04(),
         "er05_incremental_clusters": _sql_er05(),
         "er06_cluster_drift": _sql_er06(),
+        "er07_append_upsert": _sql_er07(),
     }
     return queries, oracles
