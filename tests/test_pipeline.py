@@ -398,3 +398,39 @@ def test_kb_free_append_delta_output_upsert(spark, fixture):
     assert delta.count() < full.count()
     n_new_mentions = extract_mentions(tr1, surfaces, with_context=False).count()
     assert delta.count() >= n_new_mentions
+
+
+def test_kb_free_append_chain_two_batches(spark, fixture):
+    """Continuous ingestion: state evolved through ONE append must absorb a
+    SECOND delta and still equal the full-batch recompute over all three
+    batches. This is the claim a production pipeline actually relies on —
+    the state table is rarely one run old — and it pins that cluster_state
+    built from an append output is a valid input state (min-canonical ids
+    survive the merge: a component's cluster_id is the min mention_id, so
+    re-deriving state from append output keeps the id the recompute would
+    pick)."""
+    cat, tr, _ = fixture
+    surfaces = [a["surface"] for a in cat.aliases]
+    pipe = LinkagePipeline(spark)
+    tr0 = tr.where(F.crc32(F.col("conv_id")) % 3 == 0)
+    tr1 = tr.where(F.crc32(F.col("conv_id")) % 3 == 1)
+    tr2 = tr.where(F.crc32(F.col("conv_id")) % 3 == 2)
+    assert tr0.count() > 0 and tr1.count() > 0 and tr2.count() > 0
+
+    from blink_reloaded_spark.operators.mentions import extract_mentions
+
+    m0 = extract_mentions(tr0, surfaces, with_context=False)
+    state0 = LinkagePipeline.cluster_state(
+        pipe.run_kb_free(tr0, mentions=m0), m0
+    ).localCheckpoint()
+
+    out1 = pipe.run_kb_free_append(tr1, state0, surfaces=surfaces)
+    m01 = extract_mentions(
+        tr0.unionByName(tr1), surfaces, with_context=False
+    )
+    state1 = LinkagePipeline.cluster_state(out1, m01).localCheckpoint()
+
+    out2 = pipe.run_kb_free_append(tr2, state1, surfaces=surfaces)
+    full = pipe.run_kb_free(tr.select(*tr0.columns), surfaces=surfaces)
+    diff = out2.exceptAll(full).count() + full.exceptAll(out2).count()
+    assert diff == 0, f"two-append chain diverged from full recompute: {diff}"
