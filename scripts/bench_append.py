@@ -154,8 +154,23 @@ def main() -> None:
             "and the er05 driver oracle"
         ),
     }
-    with open(os.path.join(ROOT, "BENCH_APPEND.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    # merge by corpus size: the 2M bench-corpus read and the asymptotic
+    # larger-corpus reads are BOTH evidence (the ratio falls as the fixed
+    # serial job latency shrinks relative to corpus-shaped work)
+    path = os.path.join(ROOT, "BENCH_APPEND.json")
+    doc = {"job": "kb_free_append_vs_recompute", "runs": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if "runs" in prev:
+            doc = prev
+        elif "n_turns" in prev:  # legacy single-run format
+            doc["runs"][str(prev["n_turns"])] = {
+                k: v for k, v in prev.items() if k != "job"
+            }
+    doc["runs"][str(n_turns)] = {k: v for k, v in out.items() if k != "job"}
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "trials"}, indent=1))
 
 
