@@ -529,6 +529,21 @@ def dedup03_minhash_lsh(spark, sf_dir, hash_fn=None):
          (16 positions; P(est<0.5 | j>=0.93) is negligible);
       3. exact jaccard verifies survivors -> oracle parity with the exact
          SQL (recall 1 up to the LSH miss prob (1-j^2)^8 ~ 8e-8 at j=0.93).
+
+    COST DECOMPOSITION (r7, DIAG_DEDUP03.json — VERDICT r6 #5): at sf0.1
+    the ~6s is ~50% tier-3 exact verify + ~25% tier-1 signature table; the
+    verify work is proportional to band candidates, and candidates are AT
+    the theoretical rate for this corpus's ~0.25 background jaccard
+    (1-(1-j^3)^6 ~ 9% of all pairs) — the floor is corpus statistics, not
+    plan shape. The xxhash64 variant's +22% is NOT hash cost (its
+    signature tier is 3.9x CHEAPER, 0.54s vs 1.78s): poly_hash's 5-gram
+    values cluster in ~5% of [0,P) and under-admit background pairs
+    (464k candidates vs xxh's statistically-faithful 899k), so the xxh
+    path simply does the honest candidate volume downstream. A
+    hashed-long verify join (intersect on the sig table's shingle hashes
+    instead of strings) was A/B-measured slower (+0.3-1s: the extra
+    (id,h) materialization outweighs the string-key saving on this
+    short-shingle vocabulary) — not taken.
     """
     # own the parallelism BEFORE the shingle transform: a small parquet scan
     # is 1 split, and the interpreted char_shingles pass is the heaviest
