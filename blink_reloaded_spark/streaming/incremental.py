@@ -5,10 +5,11 @@ Why this is streaming-safe without cross-batch state: a KB LINK is a pure
 function of the mention surface and the (static) entity catalogue, so
 `LinkagePipeline.run_links` emits identical rows no matter how the input is
 split into micro-batches — cluster identity IS the entity id. KB-FREE
-clustering, by contrast, is transitive closure over mention-mention edges
-and would need stateful cross-batch union-find; that mode stays batch
-(plans/pipeline.run_kb_free) with checkpoint/resume as the incremental
-story.
+clustering is transitive closure over mention-mention edges and needs
+cross-batch state; `incremental_cluster_kb_free` below (r7) streams it by
+carrying the cluster-state table between micro-batches through
+`run_kb_free_append` — exact (equals the batch recompute) and
+replay-idempotent.
 
 Exactly-once OUTPUT = at-least-once foreachBatch + an idempotent sink: the
 source checkpoint makes a restarted query re-read only unprocessed files,
