@@ -302,10 +302,215 @@ def _gen_token_vec(surfaces: list[str], with_context: bool = True):
     return gen
 
 
+def _gen_token_arrow(surfaces: list[str], with_context: bool = True):
+    """Arrow-native token matcher — output identical to `_gen_token_vec`
+    (parity-pinned by tests/test_mentions.py), consuming the record batch's
+    raw Arrow buffers zero-copy instead of through the pandas object-string
+    decode.
+
+    Why this exists (VERDICT r6 #2a): MENTIONS_SPLIT.json attributes the
+    extraction stage's ~1.33x per-CPU inflation at high core counts to the
+    Arrow/IPC memory path — the kernel itself conserves CPU standalone
+    (EXTRACTION_CONTENTION.json, inflation 1.03-1.11). `mapInPandas`
+    materializes every text as a Python str (Arrow decode), lowercases each
+    into a SECOND str, then joins them into the kernel's single buffer —
+    three allocator-heavy object passes per batch. Here the whole batch is
+    processed as ONE uint8 numpy view of the Arrow data buffer: row
+    separators via a single vectorized `np.insert`, lowercase via an
+    in-place `|= 0x20` on the [A-Z] mask. Python strings are created only
+    for the sparse match outputs, and the output goes back as Arrow arrays
+    (`pyarrow.compute.take` on the input columns — no object round-trip).
+
+    ASCII fast path only: a batch containing any byte >= 0x80 falls back to
+    the pandas kernel for that batch (UTF-8 byte offsets != char offsets,
+    and the start_pos/end_pos contract is CHAR positions — same contract as
+    `_gen_token_vec`'s utf-32 fallback).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    by_len: dict[int, set[bytes]] = {1: set(), 2: set(), 3: set()}
+    for s in set(surfaces):
+        toks = s.lower().split(" ")
+        if 1 <= len(toks) <= 3 and all(_TOK_RX.fullmatch(t) for t in toks):
+            by_len[len(toks)].add(s.lower().encode("ascii"))
+        else:
+            raise ValueError(f"token matcher supports 1-3 word-token surfaces: {s!r}")
+    first2 = {p.split(b" ", 1)[0] for p in by_len[2]}
+    first3 = {p.split(b" ", 1)[0] for p in by_len[3]}
+    tok_rx_b = re.compile(rb"[a-z0-9]+")
+
+    fields = [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("start_pos", pa.int32()),
+        pa.field("end_pos", pa.int32()),
+        pa.field("mention", pa.string()),
+    ]
+    if with_context:
+        fields += [
+            pa.field("context_left", pa.string()),
+            pa.field("context_right", pa.string()),
+        ]
+    out_schema = pa.schema(fields)
+    # non-ASCII batches reuse the pandas kernel verbatim (rare path)
+    pd_gen = _gen_token_vec(surfaces, with_context)
+
+    def gen(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            tcol = batch.column(batch.schema.get_field_index("text"))
+            if tcol.null_count:
+                tcol = pc.fill_null(tcol, "")
+            # offsets/data straight off the Arrow buffers (zero-copy);
+            # respect the array's slice offset
+            off_dt = np.int64 if pa.types.is_large_string(tcol.type) else np.int32
+            bufs = tcol.buffers()
+            offs = np.frombuffer(bufs[1], dtype=off_dt)[
+                tcol.offset : tcol.offset + n + 1
+            ].astype(np.int64)
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None
+                else np.empty(0, dtype=np.uint8)
+            )
+            codes_all = data[offs[0] : offs[-1]]
+            if codes_all.size and int(codes_all.max()) >= 0x80:
+                pdf = batch.to_pandas()
+                for out_pdf in pd_gen(iter([pdf])):
+                    if len(out_pdf):
+                        yield pa.RecordBatch.from_pandas(
+                            out_pdf, schema=out_schema, preserve_index=False
+                        )
+                continue
+            rel = offs - offs[0]
+            # one vectorized pass builds the '\x00'-joined batch buffer the
+            # kernel contract needs (tokens must not cross rows)
+            big_codes = (
+                np.insert(codes_all, rel[1:-1], 0) if n > 1 else codes_all.copy()
+            )
+            if not big_codes.size:
+                continue
+            up = (big_codes >= 65) & (big_codes <= 90)
+            big_codes[up] |= 0x20
+            row_starts = rel[:-1] + np.arange(n, dtype=np.int64)
+            lens = np.diff(rel)
+            is_tok = ((big_codes >= 97) & (big_codes <= 122)) | (
+                (big_codes >= 48) & (big_codes <= 57)
+            )
+            d = np.diff(is_tok.astype(np.int8))
+            starts = np.flatnonzero(d == 1) + 1
+            ends = np.flatnonzero(d == -1) + 1
+            if is_tok[0]:
+                starts = np.concatenate(([0], starts))
+            if is_tok[-1]:
+                ends = np.concatenate((ends, [len(big_codes)]))
+            n_tok = len(starts)
+            if not n_tok:
+                continue
+            big_b = big_codes.tobytes()
+            toks = pd.Series(tok_rx_b.findall(big_b), dtype=object)
+            assert len(toks) == n_tok
+            cand_n = np.zeros(n_tok, dtype=np.int8)
+            if by_len[1]:
+                cand_n = np.where(toks.isin(by_len[1]).to_numpy(), 1, cand_n)
+            if n_tok >= 2 and (by_len[2] or by_len[3]):
+                gap1 = (starts[1:] - ends[:-1] == 1) & (
+                    big_codes[ends[:-1]] == 32
+                )
+                s_list = starts.tolist()
+                e_list = ends.tolist()
+            if n_tok >= 2 and by_len[2]:
+                at2 = np.flatnonzero(toks.iloc[:-1].isin(first2).to_numpy() & gap1)
+                for i in at2.tolist():
+                    if big_b[s_list[i] : e_list[i + 1]] in by_len[2]:
+                        cand_n[i] = 2
+            if n_tok >= 3 and by_len[3]:
+                at3 = np.flatnonzero(
+                    toks.iloc[:-2].isin(first3).to_numpy() & gap1[:-1] & gap1[1:]
+                )
+                for i in at3.tolist():
+                    if big_b[s_list[i] : e_list[i + 2]] in by_len[3]:
+                        cand_n[i] = 3
+            idxs = np.flatnonzero(cand_n)
+            if not len(idxs):
+                continue
+            cs = starts[idxs]
+            ce = ends[idxs + cand_n[idxs] - 1]
+            s_l = cs.tolist()
+            e_l = ce.tolist()
+            keep: list[int] = []
+            last_end = -1
+            for j in range(len(s_l)):
+                if s_l[j] < last_end:
+                    continue  # inside a previous (longer) match
+                keep.append(j)
+                last_end = e_l[j]
+            ka = np.asarray(keep, dtype=np.int64)
+            s_k = cs[ka]
+            e_k = ce[ka]
+            rows = np.searchsorted(row_starts, s_k, side="right") - 1
+            rs = row_starts[rows]
+            start_pos = (s_k - rs).astype(np.int32)
+            end_pos = (e_k - rs).astype(np.int32)
+            take = pa.array(rows)
+            conv_out = pc.take(
+                batch.column(batch.schema.get_field_index("conv_id")), take
+            )
+            if not pa.types.is_string(conv_out.type):
+                conv_out = pc.cast(conv_out, pa.string())
+            turn_out = pc.cast(
+                pc.take(batch.column(batch.schema.get_field_index("turn_idx")), take),
+                pa.int32(),
+            )
+            arrays = [
+                conv_out,
+                turn_out,
+                pa.array(start_pos, type=pa.int32()),
+                pa.array(end_pos, type=pa.int32()),
+                pa.array(
+                    [
+                        big_b[s:e].decode("ascii")
+                        for s, e in zip(s_k.tolist(), e_k.tolist())
+                    ],
+                    type=pa.string(),
+                ),
+            ]
+            if with_context:
+                rs_l = rs.tolist()
+                ln_l = lens[rows].tolist()
+                sp = start_pos.tolist()
+                ep = end_pos.tolist()
+                arrays.append(
+                    pa.array(
+                        [
+                            big_b[a : a + p].decode("ascii")
+                            for a, p in zip(rs_l, sp)
+                        ],
+                        type=pa.string(),
+                    )
+                )
+                arrays.append(
+                    pa.array(
+                        [
+                            big_b[a + q : a + ln].decode("ascii")
+                            for a, q, ln in zip(rs_l, ep, ln_l)
+                        ],
+                        type=pa.string(),
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return gen
+
+
 def extract_mentions(
     transcripts: DataFrame,
     surfaces: list[str],
-    impl: str = "token",
+    impl: str = "token_arrow",
     with_context: bool = True,
     id_bits: int = 64,
     partitioning: str = "repartition",
@@ -317,11 +522,18 @@ def extract_mentions(
     stable ordering key (conv_id, turn_idx, start_pos) — W6: ids are data,
     never positions (unlike the reference's list indices).
 
-    impl='token' (default): batch-vectorized token-hash matcher
-    (_gen_token_vec; falls back to regex when the dictionary has non-token
-    surfaces); impl='token_loop': the row-loop token matcher (parity
-    baseline); impl='regex': the alternation baseline (identical output,
-    slowest on big dicts).
+    impl='token_arrow' (default): the token matcher consuming the raw
+    Arrow buffers via mapInArrow (no pandas object-string decode — see
+    _gen_token_arrow for the bus-pressure rationale; falls back to regex
+    when the dictionary has non-token surfaces, and per-batch to the
+    pandas kernel on non-ASCII text); impl='token': the batch-vectorized
+    pandas token-hash matcher (_gen_token_vec); impl='token_loop': the
+    row-loop token matcher (parity baseline); impl='regex': the
+    alternation baseline (identical output, slowest on big dicts).
+    All four are output-identical (parity-pinned in tests/test_mentions).
+    Measured at 24M turns (MENTIONS_SPLIT*.json, pinned): token_arrow
+    cuts the extraction stage's Python CPU 22-26% at both 2 and 8 cores
+    and wall -14% at 2 cores vs 'token'.
 
     ID NOTE (ADVICE r1 / VERDICT r2 #7): with id_bits=64 (default),
     mention_id = xxhash64(conv_id, turn_idx, start_pos) as a long. At 10^12
@@ -337,10 +549,17 @@ def extract_mentions(
     """
     if id_bits not in (64, 128):
         raise ValueError(f"id_bits must be 64 or 128, got {id_bits}")
-    gens = {"token": _gen_token_vec, "token_loop": _gen_token, "regex": _gen_regex}
-    if impl in ("token", "token_loop"):
+    gens = {
+        "token_arrow": _gen_token_arrow,
+        "token": _gen_token_vec,
+        "token_loop": _gen_token,
+        "regex": _gen_regex,
+    }
+    arrow_native = False
+    if impl in ("token_arrow", "token", "token_loop"):
         try:
             gen = gens[impl](surfaces, with_context)
+            arrow_native = impl == "token_arrow"
         except ValueError:
             gen = _gen_regex(surfaces, with_context)
     else:
@@ -383,7 +602,10 @@ def extract_mentions(
         cols = cols.repartition(par)
     elif partitioning != "none":
         raise ValueError(f"unknown partitioning: {partitioning!r}")
-    mentions = cols.mapInPandas(gen, schema=_schema(with_context))
+    if arrow_native:
+        mentions = cols.mapInArrow(gen, schema=_schema(with_context))
+    else:
+        mentions = cols.mapInPandas(gen, schema=_schema(with_context))
     # stable id from the ordering contract; xxhash64 is collision-safe enough
     # at test scale and avoids a global sort; a monotonic row_number variant
     # is available for strict density (used by datagen gold fixtures).

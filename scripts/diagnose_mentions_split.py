@@ -76,6 +76,7 @@ def split_cpu():
         out[key] += j / tick
     return out
 
+impl = os.environ.get("MSPLIT_IMPL", "token")
 spark = get_spark(app_name=f"msplit-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=int(cpus),
                   extra_conf={"spark.local.dir": "/dev/shm/spark-local"})
@@ -85,10 +86,10 @@ tr = spark.read.parquet(inp).repartition(96).localCheckpoint()
 n = tr.count()
 # warmup: matcher JIT + Python worker pool on a slice
 warm = tr.limit(40000).localCheckpoint()
-extract_mentions(warm, surfaces, with_context=False).write.format(
+extract_mentions(warm, surfaces, with_context=False, impl=impl).write.format(
     "noop").mode("overwrite").save()
 s0 = split_cpu(); t0 = time.time()
-extract_mentions(tr, surfaces, with_context=False).write.format(
+extract_mentions(tr, surfaces, with_context=False, impl=impl).write.format(
     "noop").mode("overwrite").save()
 s1 = split_cpu(); wall = time.time() - t0
 print(json.dumps({"cpus": int(cpus), "turns": n,
@@ -111,9 +112,10 @@ def main() -> None:
     if ROOT not in sys.path:
         sys.path.insert(0, ROOT)
     n_convs = sys.argv[1] if len(sys.argv) > 1 else "320000"
+    impl = os.environ.get("MSPLIT_IMPL", "token")
     inp = "/dev/shm/msplit-input"
     print(_sub(GEN, n_convs, inp), flush=True)
-    doc: dict = {}
+    doc: dict = {"impl": impl}
     from blink_reloaded_spark.procstat import canary_seconds
 
     for cpus in ("2", "8"):
@@ -137,7 +139,11 @@ def main() -> None:
         "region. python includes Arrow decode (the standalone kernel probe "
         "excludes it); java includes the text shuffle + Arrow encode."
     )
-    with open(os.path.join(ROOT, "MENTIONS_SPLIT.json"), "w") as f:
+    out_name = (
+        "MENTIONS_SPLIT.json" if impl == "token"
+        else f"MENTIONS_SPLIT_{impl}.json"
+    )
+    with open(os.path.join(ROOT, out_name), "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(doc, indent=1))
 

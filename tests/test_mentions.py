@@ -110,3 +110,26 @@ def test_vec_matcher_equals_loop_adversarial(spark):
     loop = sorted(map(tuple, extract_mentions(tr, surfaces, impl="token_loop").select(cols).collect()))
     rx = sorted(map(tuple, extract_mentions(tr, surfaces, impl="regex").select(cols).collect()))
     assert vec == loop == rx and len(vec) > 0
+    # Arrow-native matcher: full-row parity INCLUDING the context slices;
+    # the non-ascii row ("café …") exercises its per-batch pandas fallback
+    all_cols = cols + ["context_left", "context_right"]
+    arrow = sorted(map(tuple, extract_mentions(tr, surfaces, impl="token_arrow").select(all_cols).collect()))
+    vec_full = sorted(map(tuple, extract_mentions(tr, surfaces, impl="token").select(all_cols).collect()))
+    assert arrow == vec_full and len(arrow) > 0
+
+
+def test_arrow_matcher_equals_vec_fixture(spark):
+    """_gen_token_arrow vs _gen_token_vec on the full generated fixture —
+    same rows, same offsets, same mention_ids (the id hashes the offsets,
+    so id equality pins the whole contract)."""
+    cat = datagen.EntityCatalog.build(n_entities=40)
+    tr, _ = datagen.generate_transcripts(
+        spark, cat, n_convs=30, turns_per_conv=6, hot_conv_factor=3
+    )
+    surfaces = [a["surface"] for a in cat.aliases]
+    cols = ["mention_id", "conv_id", "turn_idx", "start_pos", "end_pos", "mention"]
+    arrow = sorted(map(tuple, extract_mentions(
+        tr, surfaces, impl="token_arrow", with_context=False).select(cols).collect()))
+    vec = sorted(map(tuple, extract_mentions(
+        tr, surfaces, impl="token", with_context=False).select(cols).collect()))
+    assert arrow == vec and len(arrow) > 0
