@@ -1296,6 +1296,59 @@ WHERE s.mention_id IS NULL OR s.cluster_id != f.cluster_id
 """
 
 
+def er08_golden_record(spark, sf_dir):
+    """Golden-record / survivorship rollup (r7) — the canonical ER OUTPUT
+    table a production MDM pipeline publishes after clustering (reference
+    analogue: the entity side of `blink/main_dense.py`'s id2title maps —
+    one canonical title per linked entity): one row per er04 cluster with
+    the survivorship-selected canonical surface plus membership telemetry
+    (size, distinct surfaces, conversation spread).
+
+    Survivorship rule: longest member surface, ties broken by greatest
+    string — deterministic and expressed as ONE map-side struct-max agg
+    (the W4 argmax shape, skew-immune), NOT a per-cluster sort. 100 TB
+    shape: a single hash-agg keyed by cluster_id over the already-
+    clustered mentions; no self-joins, no windows over the full corpus."""
+    cc = er04_clusters(spark, sf_dir)
+    m = er01_mentions(spark, sf_dir)
+    j = m.join(cc, "mention_id")
+    return j.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.countDistinct("mention").alias("n_surfaces"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.max(
+            F.struct(F.length("mention").alias("l"), F.col("mention").alias("s"))
+        )["s"].alias("canonical"),
+    )
+
+
+def _sql_er08():
+    """er04's recursive-CTE closure + a per-cluster rollup; the canonical
+    pick is a row_number window (DuckDB has no struct-max) ordered by the
+    same (length DESC, string DESC) survivorship rule."""
+    cc = _sql_er04()
+    head, _, _ = cc.rpartition("SELECT u AS mention_id, min(v) AS cluster_id")
+    return head + f""",
+cc AS (SELECT u AS mention_id, min(v) AS cluster_id FROM reach GROUP BY u),
+mm AS (SELECT doc_id*10 + wid AS mention_id, word AS mention, conv_id
+       FROM m0 WHERE pos > 0),
+jj AS (SELECT cc.cluster_id, mm.mention, mm.conv_id
+       FROM mm JOIN cc ON mm.mention_id = cc.mention_id),
+can AS (SELECT cluster_id, mention,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY length(mention) DESC, mention DESC)
+                 AS rn
+        FROM (SELECT DISTINCT cluster_id, mention FROM jj))
+SELECT g.cluster_id, g.n_members, g.n_surfaces, g.n_convs, c.canonical
+FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(count(DISTINCT mention) AS BIGINT) AS n_surfaces,
+             CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+      FROM jj GROUP BY cluster_id) g
+JOIN (SELECT cluster_id, mention AS canonical FROM can WHERE rn = 1) c
+  ON g.cluster_id = c.cluster_id
+"""
+
+
 # --------------------------------------------------------------------------
 # round-1 widening: macro/micro, gold-rank, residual join, truncation,
 # simhash pairs (pigeonhole-exact banding), embedding near-dup, multimodal
@@ -2005,6 +2058,7 @@ FROM (SELECT doc_id,
         "er05_incremental_clusters": er05_incremental_clusters,
         "er06_cluster_drift": er06_cluster_drift,
         "er07_append_upsert": er07_append_upsert,
+        "er08_golden_record": er08_golden_record,
     }
     oracles = {
         "q01_pricing_summary": SQL_Q01,
@@ -2053,5 +2107,6 @@ FROM (SELECT doc_id,
         "er05_incremental_clusters": _sql_er05(),
         "er06_cluster_drift": _sql_er06(),
         "er07_append_upsert": _sql_er07(),
+        "er08_golden_record": _sql_er08(),
     }
     return queries, oracles
