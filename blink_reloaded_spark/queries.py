@@ -1349,6 +1349,78 @@ JOIN (SELECT cluster_id, mention AS canonical FROM can WHERE rn = 1) c
 """
 
 
+def er09_blocking_quality(spark, sf_dir):
+    """Blocking-quality telemetry (r7) — the two standard record-linkage
+    blocking metrics (reference analogue: the recall@k candidate-quality
+    loop in `blink/main_dense.py:73-92`, which measures whether candidate
+    generation kept the gold entity): **pair completeness** (fraction of
+    truly-matching pairs the blocker admits) and **reduction ratio**
+    (fraction of the n*(n-1)/2 comparison space the blocker prunes).
+
+    Ground truth = the all-pairs scorer at ER_THRESHOLD — quadratic BY
+    DESIGN on the bounded ER slice, same pattern as dedup02's exact
+    ground-truth baseline. 100 TB shape: reduction ratio is exact from two
+    counts at any scale; pair completeness is estimated on a labeled-pair
+    sample (the A5 golden-sample machinery) because exact gold is
+    corpus-quadratic. Single-row output via 1-row aggregate cross-joins —
+    no collect, no windows."""
+    m = er01_mentions(spark, sf_dir).select("mention_id", "mention")
+    a = m.select(F.col("mention_id").alias("a"), F.col("mention").alias("ma"))
+    b = m.select(F.col("mention_id").alias("b"), F.col("mention").alias("mb"))
+    allp = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    gold = (
+        _er_scored_pairs(allp)
+        .where(F.col("score") >= ER_THRESHOLD)
+        .select("a", "b")
+    )
+    cand = er02_candidate_pairs(spark, sf_dir)
+    covered = gold.join(cand, ["a", "b"], "left_semi")
+    row = (
+        m.agg(F.count("*").alias("n_mentions"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidate_pairs")))
+        .crossJoin(gold.agg(F.count("*").alias("n_gold_pairs")))
+        .crossJoin(covered.agg(F.count("*").alias("n_gold_covered")))
+    )
+    n_all = F.expr("CAST(n_mentions * (n_mentions - 1) DIV 2 AS BIGINT)")
+    return row.select(
+        "n_mentions",
+        "n_candidate_pairs",
+        "n_gold_pairs",
+        "n_gold_covered",
+        F.round(
+            F.col("n_gold_covered").cast("double") / F.col("n_gold_pairs"), 6
+        ).alias("pair_completeness"),
+        F.round(
+            F.lit(1.0) - F.col("n_candidate_pairs").cast("double") / n_all, 6
+        ).alias("reduction_ratio"),
+    )
+
+
+def _sql_er09():
+    base = SQL_ER_PAIRS_BASE.format(tr=SQL_ER_TRANSCRIPTS, dict=SQL_ER_DICT)
+    jw = osql.sql_jaro_winkler("ma", "mb")
+    lev = osql.sql_levenshtein_sim("ma", "mb")
+    return base + f""",
+ap AS (SELECT x.mention_id AS a, y.mention_id AS b,
+              x.mention AS ma, y.mention AS mb
+       FROM m x JOIN m y ON x.mention_id < y.mention_id),
+g AS (SELECT a, b FROM ap
+      WHERE round({jw}*0.6 + {lev}*0.4, 6) >= {ER_THRESHOLD}),
+cov AS (SELECT g.a FROM g JOIN p ON g.a = p.a AND g.b = p.b),
+s AS (SELECT (SELECT count(*) FROM m) AS n_mentions,
+             (SELECT count(*) FROM p) AS n_candidate_pairs,
+             (SELECT count(*) FROM g) AS n_gold_pairs,
+             (SELECT count(*) FROM cov) AS n_gold_covered)
+SELECT n_mentions, n_candidate_pairs, n_gold_pairs, n_gold_covered,
+       round(CAST(n_gold_covered AS DOUBLE) / n_gold_pairs, 6)
+         AS pair_completeness,
+       round(1.0 - CAST(n_candidate_pairs AS DOUBLE)
+                   / (n_mentions * (n_mentions - 1) // 2), 6)
+         AS reduction_ratio
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # round-1 widening: macro/micro, gold-rank, residual join, truncation,
 # simhash pairs (pigeonhole-exact banding), embedding near-dup, multimodal
@@ -2059,6 +2131,7 @@ FROM (SELECT doc_id,
         "er06_cluster_drift": er06_cluster_drift,
         "er07_append_upsert": er07_append_upsert,
         "er08_golden_record": er08_golden_record,
+        "er09_blocking_quality": er09_blocking_quality,
     }
     oracles = {
         "q01_pricing_summary": SQL_Q01,
@@ -2108,5 +2181,6 @@ FROM (SELECT doc_id,
         "er06_cluster_drift": _sql_er06(),
         "er07_append_upsert": _sql_er07(),
         "er08_golden_record": _sql_er08(),
+        "er09_blocking_quality": _sql_er09(),
     }
     return queries, oracles
