@@ -137,3 +137,50 @@ def canary_seconds(passes: int = 8) -> float:
     dt = time.perf_counter() - t0
     assert acc != 0.0  # keep the loop un-elidable
     return round(dt, 4)
+
+
+_canary_mt_bufs = None
+
+
+def canary_mt_seconds(threads: int = 4, passes: int = 16) -> float:
+    """Multi-stream variant of `canary_seconds` (r7): `threads` Python
+    threads each streaming-sum their own 128 MiB buffer `passes` times
+    concurrently (numpy releases the GIL, so the streams genuinely overlap).
+    Rationale: one sequential stream consumes only a fraction of the bus, so
+    a neighbor eating PART of the bandwidth leaves the single-thread canary
+    unmoved (observed: campaign-c pair 2's @8 CPU read 726s vs the 486s
+    quiet floor while the canary sat at 0.24) — several concurrent streams
+    demand a larger share and feel partial saturation. DIAGNOSTIC column
+    only: on a core-pinned worker the threads also contend for the pinned
+    cores, so samples are comparable within one (level, process) only —
+    never across parallelism levels, never inside an estimator."""
+    global _canary_mt_bufs
+    import threading
+    import time
+
+    import numpy as np
+
+    if _canary_mt_bufs is None:
+        _canary_mt_bufs = [
+            np.arange(_CANARY_WORDS >> 1, dtype=np.float64)
+            for _ in range(threads)
+        ]
+        for b in _canary_mt_bufs:
+            b.sum()  # fault pages in before the first timing
+    acc = [0.0] * threads
+
+    def _work(i: int) -> None:
+        s = 0.0
+        for _ in range(passes):
+            s += float(_canary_mt_bufs[i].sum())
+        acc[i] = s
+
+    ts = [threading.Thread(target=_work, args=(i,)) for i in range(threads)]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    dt = time.perf_counter() - t0
+    assert all(a != 0.0 for a in acc)  # keep the work un-elidable
+    return round(dt, 4)

@@ -102,7 +102,7 @@ LinkagePipeline.tuned(spark, n_entities, collect_metrics=False).run(
 ).write.format("noop").mode("overwrite").save()
 
 from blink_reloaded_spark.procstat import (
-    canary_seconds, system_cpu_sample, tree_cpu_seconds,
+    canary_mt_seconds, canary_seconds, system_cpu_sample, tree_cpu_seconds,
 )
 
 pipe = LinkagePipeline.tuned(spark, n_entities, collect_metrics=False)
@@ -111,6 +111,7 @@ pipe = LinkagePipeline.tuned(spark, n_entities, collect_metrics=False)
 # concentrated in the measured window below the quiet gate; the canary is
 # additionally the bus-health instrument the /proc covariate is blind to)
 can0 = canary_seconds()
+canmt0 = canary_mt_seconds()
 s0 = system_cpu_sample()
 c0 = tree_cpu_seconds()
 t0 = time.time()
@@ -120,6 +121,7 @@ wall = time.time() - t0
 cpu = tree_cpu_seconds() - c0
 s1 = system_cpu_sample()
 can1 = canary_seconds()
+canmt1 = canary_mt_seconds()
 print(json.dumps({"cpus": int(cpus), "turns": n_turns,
                   "wall_sec": round(wall, 2),
                   "cpu_sec": round(cpu, 2),
@@ -131,6 +133,9 @@ print(json.dumps({"cpus": int(cpus), "turns": n_turns,
                   # fixed-work canary walls immediately before/after the
                   # timed run: canary / campaign-min = box slowdown factor
                   "canary_pre": can0, "canary_post": can1,
+                  # multi-stream bus canary (r7, DIAGNOSTIC only — see
+                  # procstat.canary_mt_seconds: per-level comparisons only)
+                  "canary_mt_pre": canmt0, "canary_mt_post": canmt1,
                   # whole-subprocess tree CPU (gen read + warmup + timed
                   # run): kept for the LIFETIME covariate (r5/r6 continuity)
                   "proc_cpu_total": round(tree_cpu_seconds(), 2),
@@ -205,6 +210,9 @@ def _timed_trial(cpus: int, tpc: int, n_entities: int, inp: str) -> dict:
     r["canary"] = round(
         (r.get("canary_pre", 0.0) + r.get("canary_post", 0.0)) / 2, 4
     )
+    r["canary_mt"] = round(
+        (r.get("canary_mt_pre", 0.0) + r.get("canary_mt_post", 0.0)) / 2, 4
+    )
     return r
 
 
@@ -237,7 +245,7 @@ def main() -> None:
             print(f"pair {t} local[{cpus}]: {r['wall_sec']}s wall, "
                   f"{r['cpu_sec']}s cpu, off-container "
                   f"{r['host_offcontainer_cores']} cores, canary "
-                  f"{r['canary']}s", flush=True)
+                  f"{r['canary']}s, canary_mt {r['canary_mt']}s", flush=True)
     shutil.rmtree(inp, ignore_errors=True)
 
     import statistics
