@@ -291,3 +291,19 @@ def test_tree_cpu_seconds_counts_descendants():
     )
     delta = tree_cpu_seconds() - c0
     assert delta > 0.3, delta
+
+
+def test_canaries_fixed_work_and_repeatable():
+    """Both box-health canaries (the bench/scaling per-trial covariates)
+    must return positive walls and be repeatable to well within the 1.5-2x
+    swings they exist to detect — on whatever box this suite runs on."""
+    from blink_reloaded_spark.procstat import canary_mt_seconds, canary_seconds
+
+    for fn in (canary_seconds, canary_mt_seconds):
+        for attempt in range(3):  # a real box transient IS a canary signal,
+            a, b = fn(), fn()     # not a code defect — retry through it
+            assert a > 0 and b > 0
+            if max(a, b) / min(a, b) < 1.5:
+                break
+        else:
+            raise AssertionError((fn.__name__, a, b))
