@@ -266,12 +266,128 @@ def minhash_signatures_exploded(
     )
 
 
+def minhash_sigs_np_udf(k: int, num_hashes: int):
+    """Factory: pandas UDF computing the MinHash signature array (length
+    `num_hashes`) over the k-char shingles of an ALREADY-NORMALIZED string
+    column — bit-identical to
+    ``minhash_sig_table(df, id, char_shingles(nt, k, normalize=False), n)``
+    with the default poly_hash base (guide §4.2: hand the whole batch to
+    numpy instead of the explode → distinct-vocabulary hash join → groupBy
+    shape, which costs three shuffles of the corpus-sized (id, shingle)
+    frame plus the interpreted per-char aggregate; measured r8 on dedup03's
+    sig tier: 1.78 s wall / 11.3 CPU-s → one map pass).
+
+    Exactness argument (parity pinned by tests/test_functions.py):
+    * poly_hash applies ``% P`` per char, but char codes < 2^21 and k <= 5
+      keep the un-reduced Horner value < 2^42, so one final ``% P`` is the
+      same residue — all int64, no float anywhere;
+    * perm_hash is (a*h + b) % P with a, h < P < 2^31 → a*h < 2^62, exact
+      in int64;
+    * duplicate shingles cannot change a min, so array_distinct is
+      irrelevant here;
+    * codes are Unicode code points (utf-32), matching F.ascii / F.split
+      for every BMP string (the driver corpus is pure ASCII);
+    * short strings (0 < len < k) contribute their whole string as the one
+      shingle, '' hashes to 0 — same as char_shingles + poly_hash.
+    NULL inputs must be filtered by the caller (the explode path drops
+    ids with a NULL shingle array; ``.where(col.isNotNull())`` preserves
+    that contract).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    perms = PERMS[:num_hashes]
+
+    # NB: no type annotations on the inner function — `pd` is a factory
+    # local, and with `from __future__ import annotations` the stringified
+    # 'pd.Series' would not resolve at pandas_udf inspection time
+    @pandas_udf(ArrayType(LongType()))
+    def _sigs(texts):
+        n = len(texts)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        vals = texts.fillna("").astype(str)
+        lens = vals.str.len().to_numpy(dtype=np.int64)
+        joined = "".join(vals.tolist())
+        codes = (
+            np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            if joined
+            else np.zeros(0, dtype=np.int64)
+        )
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # full k-char window hashes at every global position (windows that
+        # cross a doc boundary are never gathered below)
+        n_win = max(len(codes) - k + 1, 0)
+        H = np.zeros(max(n_win, 1), dtype=np.int64)
+        if n_win:
+            acc = codes[:n_win].copy()
+            for j in range(1, k):
+                acc = acc * 31 + codes[j : j + n_win]
+            H[:n_win] = acc % P
+        # ragged gather: doc i owns windows [starts[i], starts[i]+w_i)
+        counts = np.where(lens >= k, lens - k + 1, 1)
+        ptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=ptr[1:])
+        total = int(ptr[-1])
+        base = np.repeat(starts, counts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(ptr[:-1], counts)
+        allh = H[np.minimum(base + within, len(H) - 1)]
+        shorts = np.flatnonzero(lens < k)
+        if len(shorts):
+            sh_h = np.empty(len(shorts), dtype=np.int64)
+            for out_i, i in enumerate(shorts.tolist()):
+                acc_s = 0
+                for c in codes[starts[i] : starts[i] + lens[i]].tolist():
+                    acc_s = (acc_s * 31 + c) % P
+                sh_h[out_i] = acc_s
+            allh[ptr[:-1][shorts]] = sh_h
+        sig = np.empty((n, num_hashes), dtype=np.int64)
+        for i, (a, b) in enumerate(perms):
+            sig[:, i] = np.minimum.reduceat((a * allh + b) % P, ptr[:-1])
+        return pd.Series(list(sig))
+
+    return _sigs
+
+
+def band_keys_from_sig_array(sig: Column, bands: int, rows: int) -> Column:
+    """array<string> of band keys from a signature ARRAY column — same key
+    format as band_keys_from_sig_table ('<band>|<v>_<v>...')."""
+    keys = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            F.concat_ws(
+                "_",
+                *[sig.getItem(b * rows + r).cast("string") for r in range(rows)],
+            ),
+        )
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
 def sig_agreement(a: Column, b: Column) -> Column:
     """Fraction of agreeing MinHash positions — an unbiased estimate of the
     shingle jaccard. Used as a cheap pre-filter before exact verification."""
     return F.size(
         F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v)
     ) / F.size(a).cast("double")
+
+
+def sig_agreement_flat(a: Column, b: Column, num_hashes: int) -> Column:
+    """sig_agreement for a KNOWN signature length, unrolled into flat
+    position comparisons (whole-stage codegen; the zip_with/filter form
+    runs interpreted per element — r8, measured on dedup03's 464k-pair
+    agreement tier). Same value for equal-length arrays."""
+    agree = sum(
+        (a.getItem(i) == b.getItem(i)).cast("int") for i in range(num_hashes)
+    )
+    return agree / F.lit(float(num_hashes))
 
 
 def exact_text_key(c: Column) -> Column:

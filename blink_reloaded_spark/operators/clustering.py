@@ -101,6 +101,66 @@ def star_components(edges: DataFrame, leaf: str = "src", hub: str = "dst") -> Da
     return leaves.union(hubs)
 
 
+# Local-CC gate (r8): when the canonical edge set is small enough that the
+# iteration parallelism sizing (below) lands on ONE partition, the log-round
+# loop degenerates into pure serial job latency — each round is a full job of
+# single-partition shuffles plus a driver barrier, and a ~2k-edge graph pays
+# ~4 such rounds (measured: er04's CC tail was ~2.4s of its 3.4s wall for a
+# 2k-edge graph). A single-partition graph is by definition one task's worth
+# of data, so compute its components IN that one task: a mapInPandas
+# union-find over the already-coalesced edge partition — one job, no rounds,
+# no driver loop over rows. The distributed log-round loop is untouched for
+# any graph the sizing spreads over >1 partition (the 100TB path).
+# The cap is a memory guard on the one task (~32B/edge in the dict), far
+# above the 50k-edges/partition sizing that actually triggers the path.
+LOCAL_CC_MAX_EDGES = 2_000_000
+
+
+def _local_components(e: DataFrame) -> DataFrame:
+    """Components of a SINGLE-PARTITION canonical edge frame via an
+    executor-local union-find (one task, one pass). Output is identical to
+    the fixed point of the star loop: (node, component = min node id of the
+    component) for every edge-touched node — min under the column's natural
+    ordering (numeric for long ids, lexicographic for the 128-bit string
+    ids), the same ordering Spark's F.min / the star loop's least() use."""
+    import pandas as pd
+
+    t = e.schema["src"].dataType.simpleString()
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"], pdf["dst"]):
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    parent[rs] = rd
+        cmin: dict = {}
+        for n in parent:
+            r = find(n)
+            m = cmin.get(r)
+            if m is None or n < m:
+                cmin[r] = n
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"node": nodes, "component": [cmin[find(n)] for n in nodes]}
+        )
+
+    return e.coalesce(1).mapInPandas(uf, schema=f"node {t}, component {t}")
+
+
 def _ckpt(df: DataFrame, mode: str) -> DataFrame:
     """Lazy lineage-cut: local (fast, executor-pinned) or reliable (RDD
     checkpoint dir — the cluster setting). Lazy in both modes: the caller's
@@ -157,6 +217,10 @@ def connected_components(
                                     e.sparkSession.sparkContext.defaultParallelism))
     if e.rdd.getNumPartitions() > num_partitions:
         e = e.coalesce(num_partitions)
+    if num_partitions == 1 and n_edges <= LOCAL_CC_MAX_EDGES:
+        # one-partition graph: single-task union-find, no round loop (see
+        # LOCAL_CC_MAX_EDGES note). Output contract identical.
+        return _with_singletons(_local_components(e), nodes)
     spark = e.sparkSession
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
@@ -164,6 +228,20 @@ def connected_components(
         return _cc_loop(e, prev, nodes, max_iter, checkpoint_mode)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _with_singletons(out: DataFrame, nodes: DataFrame | None) -> DataFrame:
+    """Union isolated nodes (from the optional `nodes` frame) as singleton
+    components — shared tail of the local and distributed paths."""
+    if nodes is None:
+        return out
+    singles = (
+        nodes.select(F.col(nodes.columns[0]).alias("node"))
+        .distinct()
+        .join(out, "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return out.union(singles)
 
 
 def _cc_loop(
@@ -189,12 +267,4 @@ def _cc_loop(
     assign = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component")).distinct()
     out = assign.union(roots).distinct()
-    if nodes is not None:
-        singles = (
-            nodes.select(F.col(nodes.columns[0]).alias("node"))
-            .distinct()
-            .join(out, "node", "left_anti")
-            .select("node", F.col("node").alias("component"))
-        )
-        out = out.union(singles)
-    return out
+    return _with_singletons(out, nodes)

@@ -22,11 +22,12 @@ from pyspark.sql.window import Window
 from blink_reloaded_spark.functions import embedding as emb
 from blink_reloaded_spark.functions import text as tx
 from blink_reloaded_spark.functions.hashing import (
-    band_keys_from_sig_table,
+    band_keys_from_sig_array,
     exact_text_key,
     minhash_sig_table,
+    minhash_sigs_np_udf,
     poly_hash,
-    sig_agreement,
+    sig_agreement_flat,
     sig_array_from_sig_table,
     simhash_exploded,
 )
@@ -544,11 +545,20 @@ def dedup03_minhash_lsh(spark, sf_dir, hash_fn=None):
     instead of strings) was A/B-measured slower (+0.3-1s: the extra
     (id,h) materialization outweighs the string-key saving on this
     short-shingle vocabulary) — not taken.
+
+    r8 restructure (same three tiers, same output, ~2.2x faster): the sig
+    tier is a numpy batch kernel (minhash_sigs_np_udf, bit-parity pinned);
+    the agreement filter rides the band join map-side before the dedup
+    exchange; the exact verify is one array_intersect per surviving pair
+    over the stored distinct-shingle arrays instead of the explode-join
+    (which built a candidates x |shingles| row intermediate). Candidate
+    admission counts are bit-identical (463632 band candidates / 44445
+    survivors at sf0.1, matching DIAG_DEDUP03.json).
     """
     # own the parallelism BEFORE the shingle transform: a small parquet scan
-    # is 1 split, and the interpreted char_shingles pass is the heaviest
-    # map-side work in the query — repartition the raw text first so it runs
-    # on every core, not the scan's one task
+    # is 1 split, and the shingle/signature pass is the heaviest map-side
+    # work in the query — repartition the raw text first so it runs on
+    # every core, not the scan's one task
     par = spark.sparkContext.defaultParallelism
     d = (
         T(spark, sf_dir, "documents")
@@ -559,52 +569,92 @@ def dedup03_minhash_lsh(spark, sf_dir, hash_fn=None):
         .select("doc_id", tx.normalize_text(F.col("text")).alias("nt"))
         .select(
             "doc_id",
+            "nt",
             tx.char_shingles(F.col("nt"), 5, normalize=False).alias("sh"),
         )
         .localCheckpoint()
     )
+    nh = DEDUP_BANDS * DEDUP_ROWS
     # ONE signature table feeds both band keys and agreement signatures
-    # (round 1 recomputed the full shingle-hash pass per consumer)
-    # hash_fn=None -> portable poly_hash (DuckDB-oracle parity); the bench
-    # also times hash_fn=hashing.xxhash64_mod, the production fast path
-    # (band semantics preserved — test_minhash_xxhash64_band_semantics)
-    sig_t = minhash_sig_table(
-        d, "doc_id", F.col("sh"), DEDUP_BANDS * DEDUP_ROWS, hash_fn=hash_fn
-    ).localCheckpoint()
-    keys = band_keys_from_sig_table(
-        sig_t, DEDUP_BANDS, DEDUP_ROWS
-    ).withColumnRenamed("id", "doc_id").withColumnRenamed("block_key", "bk")
-    cand = (
-        keys.alias("x")
-        .join(keys.alias("y"), "bk")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
+    # (round 1 recomputed the full shingle-hash pass per consumer).
+    # hash_fn=None -> portable poly_hash via the numpy batch kernel
+    # (minhash_sigs_np_udf — bit-identical values, pinned by
+    # tests/test_functions.py::test_minhash_numpy_kernel_parity; r8 guide
+    # §4.2: replaces the explode → distinct-shingle hash join → groupBy
+    # shape, 3 shuffles of the (doc, shingle) frame, with one map pass).
+    # The bench also times hash_fn=hashing.xxhash64_mod, the production
+    # fast path, which keeps the native-JVM sig-table shape (its base hash
+    # is not reproducible in numpy; its sig tier is already cheap).
+    if hash_fn is None:
+        sigs = d.where(F.col("nt").isNotNull()).select(
+            "doc_id", minhash_sigs_np_udf(5, nh)(F.col("nt")).alias("sig")
+        ).localCheckpoint()
+    else:
+        sig_t = minhash_sig_table(
+            d, "doc_id", F.col("sh"), nh, hash_fn=hash_fn
+        ).localCheckpoint()
+        sigs = sig_array_from_sig_table(sig_t, nh).withColumnRenamed(
+            "id", "doc_id"
+        )
+    # band-bucket self-join with the signature RIDING the key rows (144B of
+    # fixed payload per key row), so the agreement filter runs MAP-SIDE in
+    # the join stage — before any distinct — and the dedup exchange only
+    # carries agreement SURVIVORS (guide §2.3 "aggregate/filter before you
+    # shuffle": band candidates outnumber survivors ~10x on this corpus).
+    # r8 plan diff vs the old tail (distinct -> two sig re-joins by id ->
+    # filter): 5 serial exchanges + 2 broadcast builds -> 2 exchanges, and
+    # the agreement expression is flat position comparisons (codegen)
+    # instead of the interpreted zip_with lambda. Measured: tail 3.4-4.1s
+    # -> 1.1s at identical output. The explicit repartition keeps the
+    # skinny survivor frame at session parallelism for the verify stage
+    # (AQE otherwise coalesces ~1MB of survivors to ONE task, serializing
+    # the array_intersect verify; par = defaultParallelism, scale-adaptive);
+    # dropDuplicates reuses that same exchange (same keys, same partition
+    # count — no extra shuffle).
+    keyed = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            band_keys_from_sig_array(F.col("sig"), DEDUP_BANDS, DEDUP_ROWS)
+        ).alias("bk"),
     )
-    sigs = sig_array_from_sig_table(sig_t, DEDUP_BANDS * DEDUP_ROWS)
     cand = (
-        cand.join(sigs.select(F.col("id").alias("a"), F.col("sig").alias("siga")), "a")
-        .join(sigs.select(F.col("id").alias("b"), F.col("sig").alias("sigb")), "b")
-        .where(sig_agreement(F.col("siga"), F.col("sigb")) >= 0.5)
+        keyed.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"), "bk")
+        .join(
+            keyed.select(
+                F.col("doc_id").alias("b"), F.col("sig").alias("sigb"), "bk"
+            ),
+            "bk",
+        )
+        .where(F.col("a") < F.col("b"))
+        .where(sig_agreement_flat(F.col("siga"), F.col("sigb"), nh) >= 0.5)
         .select("a", "b")
+        .repartition(par, "a", "b")
+        .dropDuplicates()
     )
-    e = d.select("doc_id", F.explode("sh").alias("s"))
-    sz = d.select("doc_id", F.size("sh").alias("n"))
-    # verify-join on the composite (doc, shingle) key — joining on doc id
-    # alone and filtering s==s2 afterwards would expand every candidate
-    # pair by |shingles|^2 rows
-    ni = (
-        cand.join(e.select(F.col("doc_id").alias("a"), "s"), "a")
-        .join(e.select(F.col("doc_id").alias("b"), "s"), ["b", "s"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("ni"))
-    )
+    # exact verify on the stored distinct-shingle arrays: one array_intersect
+    # per surviving pair (JVM hash-set build, codegen) instead of the old
+    # explode-join (candidates x |shingles| intermediate rows — ~12M rows
+    # for 44k survivors at sf0.1 — through two joins and a groupBy; r8,
+    # guide §2.3/§2.4: same bytes per pair, two fewer exchanges and no
+    # 280x row expansion). Intersecting STRINGS keeps the count exactly
+    # dedup02's distinct-shingle semantics (hash collisions could shave a
+    # count by 1 and flip the 6dp rounding).
     out = (
-        ni.join(sz.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
-        .join(sz.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        cand.join(
+            d.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a"
+        )
+        .join(
+            d.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")), "b"
+        )
+        .withColumn("ni", F.size(F.array_intersect("sha", "shb")))
         .withColumn(
             "jacc",
-            F.round(F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")).cast("double"), 6),
+            F.round(
+                F.col("ni")
+                / (F.size("sha") + F.size("shb") - F.col("ni")).cast("double"),
+                6,
+            ),
         )
         .where(F.col("jacc") >= DEDUP_TAU)
     )

@@ -71,6 +71,27 @@ def test_singletons_and_self_loops(spark):
     assert got == {1: 1, 2: 1, 5: 5, 9: 9}
 
 
+def test_local_path_equals_distributed_loop(spark):
+    # r8: small graphs take the single-task union-find fast path
+    # (num_partitions sizes to 1); forcing num_partitions=2 runs the
+    # log-round star loop on the SAME graph — outputs must be identical,
+    # including isolated-node singletons.
+    rng = random.Random(99)
+    n, m = 500, 650
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n + 20)], "node long")
+    local = sorted(map(tuple, connected_components(e, nodes=nodes).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            connected_components(e, nodes=nodes, num_partitions=2).collect(),
+        )
+    )
+    assert local == dist
+    assert local == sorted(_union_find(n + 20, edges).items())
+
+
 def test_star_components_equals_generic_cc(spark):
     from blink_reloaded_spark.operators.clustering import star_components
 

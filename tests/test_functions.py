@@ -130,6 +130,43 @@ def test_simhash_exploded_equals_inline(spark):
     assert inline[0] == inline[1] and inline[0] != inline[2]
 
 
+def test_minhash_numpy_kernel_parity(spark):
+    """r8: the numpy MinHash batch kernel (minhash_sigs_np_udf) must be
+    bit-identical to the explode -> poly_hash -> groupBy-min sig table on
+    normalized text, including the short-string (<k), empty-string and
+    non-ASCII-BMP edge cases char_shingles defines."""
+    from blink_reloaded_spark.functions.hashing import (
+        minhash_sig_table,
+        minhash_sigs_np_udf,
+    )
+    from blink_reloaded_spark.functions.text import char_shingles
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "abcd"),      # shorter than k=5 -> whole string is the shingle
+        (3, "a"),
+        (4, ""),          # '' shingle, poly_hash 0
+        (5, "abcde"),     # exactly k
+        (6, "naïve café résumé"),  # BMP non-ASCII
+        (7, "aaaaaaa"),   # duplicate shingles collapse
+    ]
+    d = spark.createDataFrame(rows, "id long, nt string")
+    ref = {
+        r["id"]: [r[f"mh{i}"] for i in range(18)]
+        for r in minhash_sig_table(
+            d, "id", char_shingles(F.col("nt"), 5, normalize=False), 18
+        ).collect()
+    }
+    got = {
+        r["id"]: list(r["sig"])
+        for r in d.select(
+            "id", minhash_sigs_np_udf(5, 18)(F.col("nt")).alias("sig")
+        ).collect()
+    }
+    assert got == ref
+
+
 def test_minhash_xxhash64_band_semantics(spark):
     """Production hash path (hashing.xxhash64_mod): swapping the base hash
     must preserve band SEMANTICS — the LSH candidate-pair set on a
