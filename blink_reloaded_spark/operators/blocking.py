@@ -274,7 +274,21 @@ def mention_entity_candidates(
         m = m.join(ok, "block_key", "left_semi")
         e = e.join(ok, "block_key", "left_semi")
     if max_candidates_per_mention is None:
-        return m.join(e, "block_key").select("a", "b").distinct()
+        # repartition("a") + dropDuplicates instead of a bare distinct (r8):
+        # the same ONE exchange (hash(a) satisfies the (a, b) dedup's
+        # clustering requirement), but user-specified partitioning is not
+        # AQE-coalesced — a bare distinct's output collapsed to ONE
+        # post-shuffle partition at small-catalogue sizes, and the links
+        # stage (which trusts the candidates checkpoint's layout via
+        # assume_partitioned) then ran its scorer UDFs single-task.
+        # Downstream consumers inherit hash(a) at session width, exactly
+        # the distribution link_best's groupBy("a") wants.
+        return (
+            m.join(e, "block_key")
+            .select("a", "b")
+            .repartition("a")
+            .dropDuplicates()
+        )
     # ONE exchange for the whole count+rank tail (VERDICT r3 #1b): the key
     # join emits one row per shared (a, b, key); repartitioning that frame
     # by `a` satisfies BOTH the (a, b) aggregation's and the per-`a`

@@ -569,21 +569,9 @@ def extract_mentions(
     # (each ~the whole turn text, PER MENTION) — the linkage pipeline never
     # reads them, and they dominate the mentions-stage checkpoint bytes
     cols = transcripts.select("conv_id", "turn_idx", "text")
-    # own the parallelism: AQE coalesces small shuffle outputs to very few
-    # partitions (optimizing shuffle bytes, not downstream Python CPU) —
-    # a regex scan over text is CPU-heavy per byte, so spread it over all
-    # cores explicitly. At real scale the input has plenty of partitions
-    # and this rebalance is what keeps stragglers off hot conversations.
-    # 3 tasks per core: straggler smoothing — with one wave of equal tasks
-    # the stage time is max-of-N; finer tasks let fast cores steal work.
-    # (r3 measured: SKIPPING this when the input is already multi-split is
-    # a 40% extraction REGRESSION at low core counts — the compaction into
-    # ~one fat task per core keeps each Python worker's Arrow stream
-    # continuously fed, which beats avoiding the text shuffle.)
     # own the parallelism (r1 finding: AQE coalesces small shuffle outputs
-    # far below the core count, starving the CPU-heavy matcher), at 3 tasks
-    # per core for straggler smoothing. Default "repartition" (round-robin
-    # exchange): measured r4 at 24M turns, the no-shuffle alternatives
+    # far below the core count, starving the CPU-heavy matcher). Default
+    # "repartition": measured r4 at 24M turns, the no-shuffle alternatives
     # LOSE at high core counts — "coalesce" (merge input splits into the
     # task layout) was ~1.8x slower at local[8] (79s vs ~43s) while equal
     # at local[2], and "none" (raw splits) was a 40% regression at low
@@ -591,15 +579,35 @@ def extract_mentions(
     # Python workers better than iterating coarse cached/scan partitions.
     # Knobs "auto"/"coalesce"/"none" remain for measurement
     # (scripts/profile_extraction.py).
-    par = transcripts.sparkSession.sparkContext.defaultParallelism * 3
+    # r8: the rebalance exchange hashes on (conv_id, turn_idx) instead of
+    # round-robin. Round-robin pays a local sort of every input partition
+    # before the exchange (spark.sql.execution.sortBeforeRepartition, kept
+    # ON for retry determinism); the natural key needs no sort, is
+    # deterministic under retries by construction, and is skew-free (the
+    # hot-conversation factor rides conv_id alone, but (conv_id, turn_idx)
+    # is per-turn-unique). Measured at the 2M-turn bench shape: extraction
+    # noop 2.4-3.4s -> 1.9-2.1s, stage CPU 54-74 -> 45-50.
+    #
+    # Task granularity (r8, revisits the r3 "3 tasks per core" choice):
+    # with hash-balanced equal tasks and the Arrow-native kernel, per-task
+    # overhead (Python worker handoff + Arrow stream setup + extra batch
+    # boundaries) now outweighs the straggler smoothing finer tasks buy —
+    # measured at 2M turns / 32 cores: 32 tasks 1.3s/32 CPU-s, 64 tasks
+    # 1.6s/39, 96 tasks 2.0s/47. ONE wave of equal tasks keeps every
+    # reused Python worker on a single continuous Arrow stream. The CPU
+    # saving (-30%) also carries to the low-core scaling shapes; finer
+    # granularity remains available via partitioning="none" + an explicit
+    # upstream repartition.
+    par = transcripts.sparkSession.sparkContext.defaultParallelism
+    _hash_keys = [F.col("conv_id"), F.col("turn_idx")]
     if partitioning in ("auto", "coalesce"):
         n_in = cols.rdd.getNumPartitions()
         if n_in >= par:
             cols = cols.coalesce(par)
         else:
-            cols = cols.repartition(par)
+            cols = cols.repartition(par, *_hash_keys)
     elif partitioning == "repartition":
-        cols = cols.repartition(par)
+        cols = cols.repartition(par, *_hash_keys)
     elif partitioning != "none":
         raise ValueError(f"unknown partitioning: {partitioning!r}")
     if arrow_native:

@@ -162,7 +162,16 @@ class LinkagePipeline:
                     )
                 sc.setCheckpointDir(self.checkpoint_dir + "/_rdd_ckpt")
             return df.checkpoint()
-        return df.localCheckpoint()
+        # LAZY local checkpoint (r8): the SQL plan is truncated to a
+        # LogicalRDD immediately (so every multi-consumer / AQE-replan
+        # rationale for materializing still holds), but the RDD computes
+        # inside the FIRST consuming action instead of a dedicated job —
+        # an eager checkpoint per stage was a serial job barrier each
+        # (~0.3-0.5s of fixed latency; run_kb_free_append paid ~6 of
+        # them for a 200k-turn delta). Once computed it is cached like the
+        # eager form; measured at the bench shapes: append wall 7.6-8.9 →
+        # 6.4-7.0s, kb-free CPU −10%, outputs identical.
+        return df.localCheckpoint(eager=False)
 
     @classmethod
     def tuned(
@@ -684,11 +693,29 @@ class LinkagePipeline:
             surf.select(F.col("id").alias("node"), F.col("text").alias("mention")),
             "node",
         ).select("mention", "component")
-        # AQE decides the join strategy (see build_clusters note: explicit
-        # broadcast hints on unbounded-cardinality sides are an OOM risk)
-        ml = m_slim.join(surf_comp, "mention")
-        cmin = ml.groupBy("component").agg(F.min("mention_id").alias("cluster_id"))
-        return ml.join(cmin, "component").select(
+        # cluster_id = min mention id per component WITHOUT two passes over
+        # the mention set (r8, same derivation as run()'s build_clusters):
+        # min-per-component = min over the component's surfaces of
+        # min-per-surface — one map-side-agg groupBy over mentions (the
+        # hottest surface reduces locally), then surface-cardinality
+        # arithmetic, then ONE join back. The old shape joined the full
+        # mention frame twice (cmin aggregation + final re-attach), i.e.
+        # two corpus-sized join passes per run.
+        # AQE decides the join strategies (see build_clusters note:
+        # explicit broadcast hints on unbounded-cardinality sides are an
+        # OOM risk).
+        msurf_min = m_slim.groupBy("mention").agg(
+            F.min("mention_id").alias("surf_min")
+        )
+        cmin = (
+            surf_comp.join(msurf_min, "mention")
+            .groupBy("component")
+            .agg(F.min("surf_min").alias("cluster_id"))
+        )
+        surf_cluster = surf_comp.join(cmin, "component").select(
+            "mention", "cluster_id"
+        )
+        return m_slim.join(surf_cluster, "mention").select(
             F.col("mention_id").alias("node"), F.col("cluster_id").alias("component")
         )
 
@@ -855,24 +882,6 @@ class LinkagePipeline:
             )
             .distinct()
         )
-        if validate_state:
-            # (surface -> cluster) must be functional (docstring): count the
-            # surfaces claiming two clusters in one grouped aggregation over
-            # the (small) distinct state-surface frame
-            conflicted = (
-                old_surf_comp.groupBy("sid")
-                .agg(F.count_distinct("cluster_id").alias("nc"))
-                .where(F.col("nc") > 1)
-                .count()
-            )
-            if conflicted:
-                raise ValueError(
-                    f"malformed append state: {conflicted} surface(s) map to "
-                    "more than one cluster_id — the state sink is corrupted "
-                    "(or was not produced by run_kb_free); appending it "
-                    "would silently weld those clusters together"
-                )
-
         keys = blocking_keys(
             surf,
             id_col="id",
@@ -883,13 +892,18 @@ class LinkagePipeline:
             extra_key_cols=["prefix_key"],
             hash_fn=self._blocking_hash(),
         )
+        # BOTH guards collect in ONE union-of-aggregates job (r8 — each was
+        # its own serial job barrier; same move as run()'s deferred counter
+        # metrics). The validate error still raises before any append
+        # output is produced.
+        guard_aggs = []
         if check_cap_invariant:
             # materialize the skinny key table once: the guard aggregation
             # and candidate_pairs would otherwise each re-run the MinHash
             # keying subtree (the multi-consumer lesson, perf-lessons r3)
             keys = self._materialize(keys)
             old_ids = old_surf_comp.select(F.col("sid").alias("id")).distinct()
-            capped = (
+            guard_aggs.append(
                 keys.join(old_ids.withColumn("__old", F.lit(1)), "id", "left")
                 .groupBy("block_key")
                 .agg(
@@ -899,21 +913,48 @@ class LinkagePipeline:
                 .where(
                     (F.col("n") > self.max_block) & (F.col("n_old") >= 2)
                 )
-                .count()
+                .agg(F.count("*").alias("n"))
+                .select(F.lit("capped").alias("k"), "n")
             )
-            self.metrics["append_capped_old_blocks"] = capped
-            if capped:
-                import warnings
-
-                warnings.warn(
-                    f"append-mode exactness scope exceeded: {capped} block(s) "
-                    f"holding >=2 state surfaces are over max_block="
-                    f"{self.max_block} in the union run — state merges inside "
-                    "them may not match a full-batch recompute (monotone "
-                    "superset, never a split; see run_kb_free_append "
-                    "docstring)",
-                    stacklevel=2,
+        if validate_state:
+            # (surface -> cluster) must be functional (docstring): count the
+            # surfaces claiming two clusters in one grouped aggregation over
+            # the (small) distinct state-surface frame
+            guard_aggs.append(
+                old_surf_comp.groupBy("sid")
+                .agg(F.count_distinct("cluster_id").alias("nc"))
+                .where(F.col("nc") > 1)
+                .agg(F.count("*").alias("n"))
+                .select(F.lit("conflicted").alias("k"), "n")
+            )
+        if guard_aggs:
+            one = guard_aggs[0]
+            for a in guard_aggs[1:]:
+                one = one.unionByName(a)
+            res = {r["k"]: r["n"] for r in one.collect()}
+            conflicted = res.get("conflicted", 0)
+            if conflicted:
+                raise ValueError(
+                    f"malformed append state: {conflicted} surface(s) map to "
+                    "more than one cluster_id — the state sink is corrupted "
+                    "(or was not produced by run_kb_free); appending it "
+                    "would silently weld those clusters together"
                 )
+            if check_cap_invariant:
+                capped = res.get("capped", 0)
+                self.metrics["append_capped_old_blocks"] = capped
+                if capped:
+                    import warnings
+
+                    warnings.warn(
+                        f"append-mode exactness scope exceeded: {capped} "
+                        f"block(s) holding >=2 state surfaces are over "
+                        f"max_block={self.max_block} in the union run — "
+                        "state merges inside them may not match a "
+                        "full-batch recompute (monotone superset, never a "
+                        "split; see run_kb_free_append docstring)",
+                        stacklevel=2,
+                    )
         pairs = candidate_pairs(keys, max_block=self.max_block)
 
         new_ids = (

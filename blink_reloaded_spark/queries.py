@@ -62,6 +62,21 @@ def _dec(c, prec="decimal(30,10)"):
     return F.col(c).cast(prec) if isinstance(c, str) else c.cast(prec)
 
 
+def _spread(df: DataFrame, *key: str) -> DataFrame:
+    """Hash-repartition a scan to session parallelism ONLY when it arrives
+    with fewer splits than cores (r8, guide §2.5/§6): the driver's testdata
+    parquet files are single-row-group, so every scan is one task and any
+    heavy map-side work above it (q01's decimal partial aggregation most of
+    all) runs serially. At production scale inputs carry many splits and
+    this is a no-op — no exchange is added. Hash keys (not round-robin)
+    avoid the sort-before-repartition pass; callers pass a high-cardinality
+    column so the hash spreads evenly."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *[F.col(k) for k in key])
+
+
 # --------------------------------------------------------------------------
 # relational core (SURVEY.md §2.2-2.7)
 # --------------------------------------------------------------------------
@@ -70,7 +85,19 @@ def _dec(c, prec="decimal(30,10)"):
 def q01_pricing_summary(spark, sf_dir):
     """A1/A4-style grouped aggregation (TPC-H Q1 shape): exact decimal sums.
     Reference analogue: per-dataset metric rollups (evaluator.py:16-91)."""
-    li = T(spark, sf_dir, "lineitem")
+    # spread the single-split scan before the decimal partial aggregation
+    # (the heaviest per-row map work in the relational suite) — see _spread
+    li = _spread(
+        T(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ),
+        "l_orderkey",
+    )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
         F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("sum_base"),
@@ -1044,13 +1071,16 @@ def er04_clusters(spark, sf_dir):
     """Transitive clustering over accepted edges — our large-star/small-star
     connected components, oracle-checked against a recursive-CTE transitive
     closure in DuckDB. cluster_id = min mention_id in the component."""
-    scored = er03_scored_pairs(spark, sf_dir)
+    # one shared mention frame (r8): the scored-pair subtree and the nodes
+    # side both embed the er01 extraction; a lazy local checkpoint
+    # materializes it once inside the query's own first action instead of
+    # executing the scan+cross-join subtree per consumer
+    m = er01_mentions(spark, sf_dir).localCheckpoint(eager=False)
+    scored = _er_scored_pairs(_er_pairs_of(m))
     edges = scored.where(F.col("score") >= ER_THRESHOLD).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     )
-    nodes = er01_mentions(spark, sf_dir).select(
-        F.col("mention_id").alias("node")
-    )
+    nodes = m.select(F.col("mention_id").alias("node"))
     cc = connected_components(edges, nodes=nodes)
     return cc.select(
         F.col("node").alias("mention_id"), F.col("component").alias("cluster_id")
