@@ -587,36 +587,44 @@ def dedup03_minhash_lsh(spark, sf_dir, hash_fn=None):
     # work in the query — repartition the raw text first so it runs on
     # every core, not the scan's one task
     par = spark.sparkContext.defaultParallelism
-    d = (
+    nh = DEDUP_BANDS * DEDUP_ROWS
+    base = (
         T(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(par)
         # normalize ONCE per row; inside the shingle lambda it would run per
         # shingle (see char_shingles docstring)
         .select("doc_id", tx.normalize_text(F.col("text")).alias("nt"))
-        .select(
-            "doc_id",
-            "nt",
-            tx.char_shingles(F.col("nt"), 5, normalize=False).alias("sh"),
-        )
-        .localCheckpoint()
     )
-    nh = DEDUP_BANDS * DEDUP_ROWS
     # ONE signature table feeds both band keys and agreement signatures
     # (round 1 recomputed the full shingle-hash pass per consumer).
     # hash_fn=None -> portable poly_hash via the numpy batch kernel
     # (minhash_sigs_np_udf — bit-identical values, pinned by
     # tests/test_functions.py::test_minhash_numpy_kernel_parity; r8 guide
     # §4.2: replaces the explode → distinct-shingle hash join → groupBy
-    # shape, 3 shuffles of the (doc, shingle) frame, with one map pass).
-    # The bench also times hash_fn=hashing.xxhash64_mod, the production
-    # fast path, which keeps the native-JVM sig-table shape (its base hash
-    # is not reproducible in numpy; its sig tier is already cheap).
+    # shape, 3 shuffles of the (doc, shingle) frame, with one map pass —
+    # and shingles + signature now ride ONE lazy checkpoint, so the whole
+    # query is a single job). The bench also times
+    # hash_fn=hashing.xxhash64_mod, the production fast path, which keeps
+    # the native-JVM sig-table shape (its base hash is not reproducible in
+    # numpy; its sig tier is already cheap).
     if hash_fn is None:
-        sigs = d.where(F.col("nt").isNotNull()).select(
-            "doc_id", minhash_sigs_np_udf(5, nh)(F.col("nt")).alias("sig")
-        ).localCheckpoint()
+        d = base.select(
+            "doc_id",
+            "nt",
+            tx.char_shingles(F.col("nt"), 5, normalize=False).alias("sh"),
+            minhash_sigs_np_udf(5, nh)(F.col("nt")).alias("sig"),
+        ).localCheckpoint(eager=False)
+        # null-text docs never entered the explode-path sig table — filter
+        # them from the keyed side the same way (the corpus has none; the
+        # contract is preserved regardless)
+        sigs = d.where(F.col("nt").isNotNull()).select("doc_id", "sig")
     else:
+        d = base.select(
+            "doc_id",
+            "nt",
+            tx.char_shingles(F.col("nt"), 5, normalize=False).alias("sh"),
+        ).localCheckpoint()
         sig_t = minhash_sig_table(
             d, "doc_id", F.col("sh"), nh, hash_fn=hash_fn
         ).localCheckpoint()
