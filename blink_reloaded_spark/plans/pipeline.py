@@ -297,6 +297,9 @@ class LinkagePipeline:
                 # schema-affecting: a surfaces checkpoint written without
                 # stored vectors must not be resumed by a join-mode run
                 "cos_source": self.cos_source,
+                # r8: surfaces checkpoint carries surf_min — a pre-r8
+                # checkpoint dir must not resume into this code
+                "surfaces_schema": 2,
                 "blocking_hash": getattr(
                     self._blocking_hash(), "__name__", "custom"
                 ),
@@ -415,19 +418,32 @@ class LinkagePipeline:
         # 10^12 turns this collapses the heavy stages by orders of magnitude;
         # it is also the first skew fix: the hottest surface becomes ONE row.
         def build_surfaces() -> DataFrame:
+            # ONE grouped pass over the mention set (r8): the dedup to
+            # distinct surfaces and the per-surface min mention id (needed
+            # later for cluster-id canonicalization) share the same
+            # groupBy(mention) — the old shape aggregated the corpus-sized
+            # mention frame twice (distinct here, min in the clusters
+            # stage). surf_min is NULL on entity rows.
             ment_surf = (
-                m_slim.select(F.col("mention").alias("text"))
-                .distinct()
+                m_slim.groupBy("mention")
+                .agg(F.min("mention_id").alias("surf_min"))
                 .select(
-                    F.xxhash64(F.lit("surf"), "text").alias("id"),
-                    "text",
+                    F.xxhash64(F.lit("surf"), "mention").alias("id"),
+                    F.col("mention").alias("text"),
                     F.lit(True).alias("is_mention"),
+                    "surf_min",
                 )
             )
             ent_surf = entities.select(
                 (F.lit(ENTITY_ID_OFFSET) - F.col("entity_id")).alias("id"),
                 F.lower(F.col("title")).alias("text"),
                 F.lit(False).alias("is_mention"),
+                # type follows the mention id (long, or string in
+                # id_bits=128 mode — a hard "long" cast here corrupted the
+                # union's column type for 128-bit ids)
+                F.lit(None)
+                .cast(m_slim.schema["mention_id"].dataType)
+                .alias("surf_min"),
             )
             both = ment_surf.unionByName(ent_surf)
             # tokenize ONCE per distinct surface; the scorer otherwise
@@ -502,26 +518,24 @@ class LinkagePipeline:
             # map components back through MENTION surfaces only: an exact
             # alias equals the entity title, so joining through all
             # surfaces_t rows would duplicate those mentions
+            # cluster_id = min mention id per component, with ZERO extra
+            # passes over the mention set: min-per-component = min over the
+            # component's surfaces of min-per-surface, and the per-surface
+            # min already rides the surfaces checkpoint (surf_min, computed
+            # in the same groupBy that deduplicates surfaces — r8; the r7
+            # shape re-aggregated the corpus-sized mention frame here).
+            # All arithmetic below is surface-cardinality until the ONE
+            # final join back onto mentions.
             surf_comp = comps.join(
                 surfaces_t.where("is_mention").select(
-                    F.col("id").alias("node"), F.col("text").alias("mention")
+                    F.col("id").alias("node"),
+                    F.col("text").alias("mention"),
+                    "surf_min",
                 ),
                 "node",
-            ).select("mention", "component")
-            # cluster_id = min mention id per component, computed WITHOUT a
-            # second pass over the mention set: min-per-component = min over
-            # the component's surfaces of min-per-surface. One map-side-agg
-            # groupBy over mentions (skew-immune: the hottest surface
-            # reduces locally) + all-surface-level arithmetic + ONE final
-            # join back. The round-1 shape made three mention-set passes
-            # (join, groupBy(component), join) plus a union.
-            msurf_min = m_slim.groupBy("mention").agg(
-                F.min("mention_id").alias("surf_min")
-            )
-            cmin = (
-                surf_comp.join(msurf_min, "mention")
-                .groupBy("component")
-                .agg(F.min("surf_min").alias("cluster_id"))
+            ).select("mention", "component", "surf_min")
+            cmin = surf_comp.groupBy("component").agg(
+                F.min("surf_min").alias("cluster_id")
             )
             # surface -> cluster map (distinct-surface cardinality, small
             # relative to mentions; no explicit broadcast hint — unbounded
@@ -658,11 +672,18 @@ class LinkagePipeline:
         if self.checkpoint_dir is None:
             m_slim = self._materialize(m_slim)
 
+        # ONE grouped pass dedups surfaces AND computes the per-surface min
+        # mention id the cluster-canonicalization tail needs (r8 — the old
+        # shape re-aggregated the corpus-sized mention frame at the end)
         surf = self._materialize(
             self._with_node_cols(
-                m_slim.select(F.col("mention").alias("text"))
-                .distinct()
-                .select(F.xxhash64(F.lit("surf"), "text").alias("id"), "text")
+                m_slim.groupBy("mention")
+                .agg(F.min("mention_id").alias("surf_min"))
+                .select(
+                    F.xxhash64(F.lit("surf"), "mention").alias("id"),
+                    F.col("mention").alias("text"),
+                    "surf_min",
+                )
             )
         )
         keys = blocking_keys(
@@ -689,28 +710,24 @@ class LinkagePipeline:
         comps = connected_components(
             edges, nodes=surf.select("id"), checkpoint_mode=self.checkpoint_mode
         )
+        # cluster_id = min mention id per component with ZERO extra passes
+        # over the mention set (r8, same derivation as run()'s
+        # build_clusters): the per-surface min rides the surf node table
+        # (surf_min, computed in the same groupBy that deduplicates
+        # surfaces), so everything below is surface-cardinality until the
+        # ONE final join back onto mentions. AQE decides the join
+        # strategies (explicit broadcast hints on unbounded-cardinality
+        # sides are an OOM risk).
         surf_comp = comps.join(
-            surf.select(F.col("id").alias("node"), F.col("text").alias("mention")),
+            surf.select(
+                F.col("id").alias("node"),
+                F.col("text").alias("mention"),
+                "surf_min",
+            ),
             "node",
-        ).select("mention", "component")
-        # cluster_id = min mention id per component WITHOUT two passes over
-        # the mention set (r8, same derivation as run()'s build_clusters):
-        # min-per-component = min over the component's surfaces of
-        # min-per-surface — one map-side-agg groupBy over mentions (the
-        # hottest surface reduces locally), then surface-cardinality
-        # arithmetic, then ONE join back. The old shape joined the full
-        # mention frame twice (cmin aggregation + final re-attach), i.e.
-        # two corpus-sized join passes per run.
-        # AQE decides the join strategies (see build_clusters note:
-        # explicit broadcast hints on unbounded-cardinality sides are an
-        # OOM risk).
-        msurf_min = m_slim.groupBy("mention").agg(
-            F.min("mention_id").alias("surf_min")
-        )
-        cmin = (
-            surf_comp.join(msurf_min, "mention")
-            .groupBy("component")
-            .agg(F.min("surf_min").alias("cluster_id"))
+        ).select("mention", "component", "surf_min")
+        cmin = surf_comp.groupBy("component").agg(
+            F.min("surf_min").alias("cluster_id")
         )
         surf_cluster = surf_comp.join(cmin, "component").select(
             "mention", "cluster_id"

@@ -424,7 +424,9 @@ def text01_quality(spark, sf_dir):
     d = (
         T(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(par)
+        # hash keys, not round-robin (r8): round-robin pays a local
+        # sort-before-repartition pass; doc_id hashes evenly
+        .repartition(par, F.col("doc_id"))
         .withColumn("nt", tx.normalize_text(F.col("text")))
         .withColumn("tk", tx.tokens(F.col("nt"), normalize=False))
     )
@@ -591,7 +593,8 @@ def dedup03_minhash_lsh(spark, sf_dir, hash_fn=None):
     base = (
         T(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(par)
+        # hash keys, not round-robin (r8): no sort-before-repartition pass
+        .repartition(par, F.col("doc_id"))
         # normalize ONCE per row; inside the shingle lambda it would run per
         # shingle (see char_shingles docstring)
         .select("doc_id", tx.normalize_text(F.col("text")).alias("nt"))

@@ -167,6 +167,30 @@ def test_minhash_numpy_kernel_parity(spark):
     assert got == ref
 
 
+def test_sig_agreement_flat_equals_lambda(spark):
+    """r8: the unrolled codegen agreement must equal the zip_with form."""
+    import random as _r
+
+    from blink_reloaded_spark.functions.hashing import (
+        sig_agreement,
+        sig_agreement_flat,
+    )
+
+    rng = _r.Random(5)
+    rows = []
+    for _ in range(50):
+        a = [rng.randrange(100) for _ in range(18)]
+        b = [x if rng.random() < 0.5 else rng.randrange(100) for x in a]
+        rows.append((a, b))
+    df = spark.createDataFrame(rows, "a array<long>, b array<long>")
+    got = df.select(
+        sig_agreement(F.col("a"), F.col("b")).alias("l"),
+        sig_agreement_flat(F.col("a"), F.col("b"), 18).alias("f"),
+    ).collect()
+    for r in got:
+        assert abs(r["l"] - r["f"]) < 1e-12
+
+
 def test_minhash_xxhash64_band_semantics(spark):
     """Production hash path (hashing.xxhash64_mod): swapping the base hash
     must preserve band SEMANTICS — the LSH candidate-pair set on a
