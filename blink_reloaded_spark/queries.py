@@ -623,14 +623,16 @@ def dedup03_minhash_lsh(spark, sf_dir, hash_fn=None):
         # contract is preserved regardless)
         sigs = d.where(F.col("nt").isNotNull()).select("doc_id", "sig")
     else:
+        # lazy checkpoints here too (r8): plan truncation + one
+        # materialization per frame, but no dedicated job barrier each
         d = base.select(
             "doc_id",
             "nt",
             tx.char_shingles(F.col("nt"), 5, normalize=False).alias("sh"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         sig_t = minhash_sig_table(
             d, "doc_id", F.col("sh"), nh, hash_fn=hash_fn
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         sigs = sig_array_from_sig_table(sig_t, nh).withColumnRenamed(
             "id", "doc_id"
         )
